@@ -1,0 +1,29 @@
+"""grmonty_tpu — TPU-native general-relativistic Monte Carlo radiative transport.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of cuda-grmonty
+(reference: /root/reference, a CUDA port of grmonty, Dolence et al. 2009,
+arXiv:0909.0708).  Photons are tracked as SoA batches stepped inside a
+`lax.while_loop`; all physics is expressed as pure, vectorized functions so
+XLA can fuse the entire transport superstep.
+
+Layout:
+    models/     HARM GRMHD snapshot I/O, units, synthetic torus generator
+    ops/        physics kernels: geometry, tetrads, fluid interpolation,
+                synchrotron emissivity, Compton cross sections, opacities,
+                Monte Carlo samplers, emission, spectrum binning
+    transport/  the batched geodesic transport engine (the hot loop)
+    parallel/   multi-chip sharding (shard_map over a photon-axis Mesh)
+    utils/      logging, table caching
+
+Precision: double precision is required for parity with the reference
+(which is entirely `double`); we enable x64 at import.  The transport
+engine's compute dtype is configurable (see `grmonty_tpu.config.Config`);
+float64 is the parity default, float32 is ~4x faster on TPU and passes the
+same statistical spectrum checks.
+"""
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"

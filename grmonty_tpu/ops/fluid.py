@@ -1,0 +1,160 @@
+"""Fluid state evaluation: zone-centred and bilinear-interpolated plasma.
+
+Equivalent of ``cuda_grmonty/harm_model.cpp``: ``get_fluid_zone`` :538-593,
+``get_fluid_params`` :595-671, ``interp_scalar`` :1646-1656 (the GPU mirror
+``harm_model.cuh:246-335`` is the branch-free template we follow).
+
+The 8 primitives live on device as one (8, n1, n2) float array in the order
+rho, u, u1, u2, u3, B1, B2, B3.  Both entry points reconstruct the fluid
+4-velocity from the HARM velocity primitives (u^0 from v.v and g^00), build
+the magnetic 4-vector b^mu, and return everything batched.
+"""
+
+import math
+import typing
+
+import jax.numpy as jnp
+
+from grmonty_tpu import consts
+from grmonty_tpu.ops import geometry, tetrads
+
+
+class ModelConsts(typing.NamedTuple):
+    """Static per-dump scalars threaded through the physics (hashable)."""
+
+    a: float
+    h_slope: float
+    r_0: float
+    x_start: tuple  # (4,)
+    x_stop: tuple  # (4,)
+    dx: tuple  # (4,)
+    n1: int
+    n2: int
+    n_e_unit: float
+    theta_e_unit: float
+    b_unit: float
+    x1_min: float  # ln(horizon radius)
+    bias_norm: float
+    d_tau_k: float
+
+
+class FluidState(typing.NamedTuple):
+    n_e: jnp.ndarray
+    theta_e: jnp.ndarray
+    b: jnp.ndarray  # field magnitude [gauss]
+    u_con: jnp.ndarray  # (..., 4)
+    u_cov: jnp.ndarray
+    b_con: jnp.ndarray  # (..., 4), code units
+    b_cov: jnp.ndarray
+
+
+def _four_vectors(v_con_sp, bp_sp, g_cov, g_con, mc):
+    """Shared reconstruction of u^mu and b^mu from spatial primitives.
+
+    ``v_con_sp``/``bp_sp``: (..., 3) spatial primitives; metrics (..., 4, 4).
+    """
+    zeros = jnp.zeros_like(v_con_sp[..., :1])
+    v_con = jnp.concatenate([zeros, v_con_sp], axis=-1)
+    bp = jnp.concatenate([zeros, bp_sp], axis=-1)
+
+    v_dot_v = jnp.einsum("...i,...ij,...j->...", v_con[..., 1:], g_cov[..., 1:, 1:], v_con[..., 1:])
+    v_fac = jnp.sqrt(-1.0 / g_con[..., 0, 0] * (1.0 + jnp.abs(v_dot_v)))
+
+    u_con = v_con - v_fac[..., None] * g_con[..., 0, :]
+    u_con = u_con.at[..., 0].set(-v_fac * g_con[..., 0, 0])
+    u_cov = tetrads.lower(u_con, g_cov)
+
+    u_dot_bp = jnp.sum(u_cov[..., 1:] * bp[..., 1:], axis=-1)
+    b_con = (bp + u_con * u_dot_bp[..., None]) / u_con[..., 0:1]
+    b_con = b_con.at[..., 0].set(u_dot_bp)
+    b_cov = tetrads.lower(b_con, g_cov)
+
+    b_mag = jnp.sqrt(jnp.abs(jnp.sum(b_con * b_cov, axis=-1))) * mc.b_unit
+    return u_con, u_cov, b_con, b_cov, b_mag
+
+
+def get_fluid_zone(prims, g_cov, g_con, mc):
+    """Zone-centred fluid state for every zone at once (harm_model.cpp:538-593).
+
+    ``prims``: (8, n1, n2); ``g_cov``/``g_con``: (n1, n2, 4, 4).
+    Returns a FluidState of (n1, n2[, 4]) arrays.
+    """
+    rho, uu = prims[0], prims[1]
+    n_e = rho * mc.n_e_unit
+    theta_e = uu / rho * mc.theta_e_unit
+
+    v_con_sp = jnp.moveaxis(prims[2:5], 0, -1)  # (n1, n2, 3)
+    bp_sp = jnp.moveaxis(prims[5:8], 0, -1)
+    u_con, u_cov, b_con, b_cov, b_mag = _four_vectors(v_con_sp, bp_sp, g_cov, g_con, mc)
+    return FluidState(n_e, theta_e, b_mag, u_con, u_cov, b_con, b_cov)
+
+
+def get_fluid_params(x, g_cov, prims, mc):
+    """Bilinearly interpolated fluid state at arbitrary x (harm_model.cpp:595-671).
+
+    ``x``: (..., 4); ``g_cov``: (..., 4, 4) evaluated at x by the caller.
+    Outside the grid the electron density is zeroed (sentinel), matching the
+    reference's early return.
+    """
+    inside = (
+        (x[..., 1] >= mc.x_start[1])
+        & (x[..., 1] <= mc.x_stop[1])
+        & (x[..., 2] >= mc.x_start[2])
+        & (x[..., 2] <= mc.x_stop[2])
+    )
+
+    i, j, del_i, del_j = geometry.x_to_ij(x, mc.x_start, mc.dx, (mc.n1, mc.n2))
+
+    # Bilinear gather of all 8 primitives at once: (8, ...) per corner.
+    p00 = prims[:, i, j]
+    p01 = prims[:, i, j + 1]
+    p10 = prims[:, i + 1, j]
+    p11 = prims[:, i + 1, j + 1]
+    c00 = (1.0 - del_i) * (1.0 - del_j)
+    c01 = (1.0 - del_i) * del_j
+    c10 = del_i * (1.0 - del_j)
+    c11 = del_i * del_j
+    p = p00 * c00 + p01 * c01 + p10 * c10 + p11 * c11  # (8, ...)
+
+    rho, uu = p[0], p[1]
+    n_e = jnp.where(inside, rho * mc.n_e_unit, 0.0)
+    theta_e = uu / rho * mc.theta_e_unit
+
+    g_con = geometry.gcon(x, mc.a, mc.h_slope, mc.r_0)
+    v_con_sp = jnp.moveaxis(p[2:5], 0, -1)
+    bp_sp = jnp.moveaxis(p[5:8], 0, -1)
+    u_con, u_cov, b_con, b_cov, b_mag = _four_vectors(v_con_sp, bp_sp, g_cov, g_con, mc)
+    return FluidState(n_e, theta_e, b_mag, u_con, u_cov, b_con, b_cov)
+
+
+def precompute_zone_geometry(mc, dtype=jnp.float64):
+    """gcov/gcon/sqrt|det g| at every zone center (harm_model.cpp:242-266)."""
+    ii, jj = jnp.meshgrid(
+        jnp.arange(mc.n1, dtype=dtype), jnp.arange(mc.n2, dtype=dtype), indexing="ij"
+    )
+    x = geometry.zone_center(ii, jj, mc.x_start, mc.dx)
+    g_cov = geometry.gcov(x, mc.a, mc.h_slope, mc.r_0)
+    g_con = geometry.gcon(x, mc.a, mc.h_slope, mc.r_0)
+    g_det = jnp.sqrt(jnp.abs(jnp.linalg.det(g_cov)))
+    return x, g_cov, g_con, g_det
+
+
+def make_model_consts(model) -> ModelConsts:
+    """Build ModelConsts from a parsed models.harm.HARMModel."""
+    h = model.header
+    return ModelConsts(
+        a=h.a,
+        h_slope=h.h_slope,
+        r_0=h.r_0,
+        x_start=tuple(h.x_start),
+        x_stop=tuple(h.x_stop),
+        dx=tuple(h.dx),
+        n1=h.n[0],
+        n2=h.n[1],
+        n_e_unit=model.units.n_e_unit,
+        theta_e_unit=model.units.theta_e_unit,
+        b_unit=model.units.b_unit,
+        x1_min=model.x1_min,
+        bias_norm=model.bias_norm,
+        d_tau_k=model.d_tau_k,
+    )

@@ -1,0 +1,58 @@
+"""Frequency-invariant opacities and photon-fluid kinematics.
+
+Equivalent of ``cuda_grmonty/radiation.cpp:59-146``.  All functions are pure
+jnp and batched; tables come in as arrays.
+"""
+
+import math
+
+import jax.numpy as jnp
+
+from grmonty_tpu import consts
+from grmonty_tpu.ops import hotcross, jnu
+
+PI = math.pi
+
+
+def bk_angle(k, u_cov, b_cov, b, b_unit):
+    """Pitch angle between photon k and magnetic field (radiation.cpp:59-87).
+
+    Returns pi/2 where b == 0.
+    """
+    k_u = jnp.abs(jnp.sum(k * u_cov, axis=-1))
+    k_b = jnp.sum(k * b_cov, axis=-1)
+    mu = k_b / (k_u * b / b_unit + consts.EPS)
+    mu = jnp.clip(mu, -1.0, 1.0)
+    return jnp.where(b == 0.0, PI / 2.0, jnp.arccos(mu))
+
+
+def fluid_nu(k, u_cov):
+    """Fluid-frame photon frequency [Hz] (radiation.cpp:89-101)."""
+    energy = -jnp.sum(k * u_cov, axis=-1)
+    return energy * consts.ME * consts.CL * consts.CL / consts.HPL
+
+
+def alpha_inv_scatt(nu, theta_e, n_e, hotcross_table):
+    """Invariant scattering opacity nu * sigma_hot * n_e (radiation.cpp:103-107).
+
+    The reference routes through kappa_es = sigma/m_p and multiplies m_p
+    back; the proton mass cancels and we fold it out.
+    """
+    e_g = consts.HPL * nu / (consts.ME * consts.CL * consts.CL)
+    sigma = hotcross.lookup(e_g, theta_e, hotcross_table)
+    return nu * sigma * n_e
+
+
+def b_nu_inv(nu, theta_e):
+    """Inverse-squared-frequency Planck function B_nu/nu^2 (radiation.cpp:121-129)."""
+    x = consts.HPL * nu / (consts.ME * consts.CL * consts.CL * theta_e + consts.EPS)
+    pref = 2.0 * consts.HPL / (consts.CL * consts.CL)
+    series = pref / (x / 24.0 * (24.0 + x * (12.0 + x * (4.0 + x))) + consts.EPS)
+    full = pref / (jnp.expm1(jnp.minimum(x, 700.0)) + consts.EPS)
+    return jnp.where(x < 1.0e-3, series, full)
+
+
+def alpha_inv_abs(nu, theta_e, n_e, b, theta, k2_table):
+    """Invariant absorption opacity via Kirchhoff's law (radiation.cpp:109-119)."""
+    j_inv = jnu.synch(nu, n_e, theta_e, b, theta, k2_table) / (nu * nu + consts.EPS)
+    return j_inv / (b_nu_inv(nu, theta_e) + 1.0e-100)
