@@ -1,0 +1,76 @@
+"""Command-line entry point.
+
+Equivalent of the reference's ``main.cpp:19-56``: the same five flags with
+the same defaults (--photon_n, --mass_unit, --harm_dump_path,
+--spectrum_path, --verbosity), driving read -> init -> run -> report.
+Extra TPU-specific knobs are grouped under the tuning section.
+"""
+
+import argparse
+import sys
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="grmonty-tpu",
+        description="TPU-native general-relativistic Monte Carlo radiative transport",
+    )
+    p.add_argument("--photon_n", type=float, default=5_000_000,
+                   help="estimate of the number of superphotons to emit")
+    p.add_argument("--mass_unit", type=float, default=4.0e19,
+                   help="mass unit [g] scaling the dump's density")
+    p.add_argument("--harm_dump_path", type=str, required=True,
+                   help="path to the HARM dump file")
+    p.add_argument("--spectrum_path", type=str, default="spectrum",
+                   help="output spectrum file path")
+    p.add_argument("--verbosity", type=str, default="info",
+                   help="log level: trace|debug|info|warn|err|critical|off")
+    # TPU tuning
+    p.add_argument("--pool", type=int, default=16384, help="photon pool size")
+    p.add_argument("--period", type=int, default=8,
+                   help="iterations between refill/record/scatter phases")
+    p.add_argument("--dtype", type=str, default="float64",
+                   choices=["float32", "float64"], help="transport compute dtype")
+    p.add_argument("--seed", type=int, default=123, help="RNG seed")
+    p.add_argument("--devices", type=int, default=0,
+                   help="shard the photon pool over this many devices (0 = single)")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from grmonty_tpu.utils.logging import setup
+
+    log = setup(args.verbosity)
+
+    import jax.numpy as jnp
+
+    from grmonty_tpu.transport import driver, engine
+
+    cfg = engine.EngineConfig(
+        n_pool=args.pool,
+        m_period=args.period,
+        dtype=jnp.float32 if args.dtype == "float32" else jnp.float64,
+    )
+    if args.devices > 1:
+        from grmonty_tpu.parallel import sharding
+
+        sim = sharding.ShardedSimulation(
+            args.harm_dump_path, photon_n=int(args.photon_n),
+            mass_unit=args.mass_unit, seed=args.seed, config=cfg,
+            n_devices=args.devices,
+        )
+    else:
+        sim = driver.Simulation(
+            args.harm_dump_path, photon_n=int(args.photon_n),
+            mass_unit=args.mass_unit, seed=args.seed, config=cfg,
+        )
+    spec, stats = sim.run()
+    sim.report(args.spectrum_path)
+    log.info("Done: %.0f photons/s", stats["photon_rate"])
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

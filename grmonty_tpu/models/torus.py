@@ -141,6 +141,7 @@ def write_torus_dump(filepath, n1=256, n2=256):
     m.x1_min = math.log(1.0 + math.sqrt(1.0 - header.a**2))
     m.bias_norm = 1.0
     m.d_tau_k = 1.0
+    m.max_tau_scatt_init = 1.0
     mc = fluid.make_model_consts(m)
 
     _, g_cov, g_con, g_det = fluid.precompute_zone_geometry(mc)

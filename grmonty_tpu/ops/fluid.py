@@ -36,6 +36,7 @@ class ModelConsts(typing.NamedTuple):
     x1_min: float  # ln(horizon radius)
     bias_norm: float
     d_tau_k: float
+    max_tau_scatt0: float  # initial bias normalisation depth (harm_model.cpp:72)
 
 
 class FluidState(typing.NamedTuple):
@@ -157,4 +158,5 @@ def make_model_consts(model) -> ModelConsts:
         x1_min=model.x1_min,
         bias_norm=model.bias_norm,
         d_tau_k=model.d_tau_k,
+        max_tau_scatt0=model.max_tau_scatt_init,
     )
