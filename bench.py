@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark driver: superphoton transport rate on the current accelerator.
+
+Prints ONE JSON line:
+    {"metric": "superphotons_per_sec", "value": N, "unit": "ph/s",
+     "vs_baseline": N / 307186}
+
+Baseline: the reference cuda-grmonty v0.1.3 achieves 307,186 photons/s on an
+RTX 3060 for dump019 with photon_n = 1e6, M_unit = 4e19 (README.md:87).  The
+rate counts actually tracked superphotons (~= photon_n * ln(nu_max/nu_min))
+over the transport wall time, exactly as the reference's "Final rate" log
+line (harm_model.cpp:409).
+
+Input: uses ./dump019 or $GRMONTY_DUMP if present; otherwise generates a
+deterministic 256x256 synthetic torus (this environment has no network
+egress to fetch dump019) with comparable zone count and physical regimes.
+
+Env knobs: BENCH_PHOTON_N (default 1e6), BENCH_POOL (65536), BENCH_DTYPE
+(float32|float64, default float32), BENCH_STALL_STEPS (150000).
+"""
+
+import json
+import os
+import sys
+import time
+
+REFERENCE_RATE = 307_186.0  # ph/s, reference v0.1.3 on RTX 3060
+
+
+def find_dump():
+    for cand in (os.environ.get("GRMONTY_DUMP"), "dump019"):
+        if cand and os.path.exists(cand):
+            return cand
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, "torus_256x256_dump")
+    if not os.path.exists(path):
+        from grmonty_tpu.models import torus
+
+        print("generating synthetic torus dump (dump019 unavailable offline)",
+              file=sys.stderr)
+        torus.write_torus_dump(path, n1=256, n2=256)
+    return path
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import jax.numpy as jnp
+
+    from grmonty_tpu.transport import driver, engine
+    from grmonty_tpu.utils.logging import setup
+
+    setup(os.environ.get("BENCH_VERBOSITY", "info"))
+
+    photon_n = int(float(os.environ.get("BENCH_PHOTON_N", "1e6")))
+    pool = int(os.environ.get("BENCH_POOL", "65536"))
+    dtype = jnp.float32 if os.environ.get("BENCH_DTYPE", "float32") == "float32" else jnp.float64
+    stall = int(os.environ.get("BENCH_STALL_STEPS", "150000"))
+
+    cfg = engine.EngineConfig(
+        n_pool=pool,
+        m_period=int(os.environ.get("BENCH_PERIOD", "8")),
+        sec_cap=4 * pool,
+        stall_steps=stall,
+        dtype=dtype,
+    )
+    dump = find_dump()
+    sim = driver.Simulation(
+        dump, photon_n=photon_n, mass_unit=4.0e19, config=cfg,
+        emit_chunk=1 << 20,
+    )
+    spec, stats = sim.run()
+    sim.report(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "bench_spectrum"))
+
+    rate = stats["photon_rate"]
+    print(json.dumps({
+        "metric": "superphotons_per_sec",
+        "value": round(rate, 1),
+        "unit": "ph/s",
+        "vs_baseline": round(rate / REFERENCE_RATE, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -208,6 +208,10 @@ def sample_photons(
     x = zone_x[zi, zj].astype(dtype)
 
     shape = theta_e.shape
+    # Lanes pointing at dead zones (padding, or zones with no emission
+    # budget) can never accept a draw; start them accepted so they don't
+    # drive the masked loops to the iteration cap.
+    dead = (dn_max <= 0.0) | (theta_e < consts.THETA_E_MIN)
 
     # --- frequency rejection against the weight envelope (:736-740) -------
     def nu_body(state):
@@ -229,7 +233,7 @@ def sample_photons(
     key, nu, w, _, _ = lax.while_loop(
         nu_cond,
         nu_body,
-        (key, jnp.full(shape, consts.NU_MIN, dtype), jnp.zeros(shape, dtype), jnp.zeros(shape, bool), 0),
+        (key, jnp.full(shape, consts.NU_MIN, dtype), jnp.zeros(shape, dtype), dead, 0),
     )
 
     # --- direction rejection against j(theta)/j(pi/2) (:743-751) ----------
@@ -250,7 +254,7 @@ def sample_photons(
         return (~jnp.all(accepted)) & (it < _MAX_REJECT_ITERS)
 
     key, cos_th, _, _ = lax.while_loop(
-        th_cond, th_body, (key, jnp.zeros(shape, dtype), jnp.zeros(shape, bool), 0)
+        th_cond, th_body, (key, jnp.zeros(shape, dtype), dead | (j_max <= 0.0), 0)
     )
 
     sin_th = jnp.sqrt(1.0 - cos_th * cos_th)

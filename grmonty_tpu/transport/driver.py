@@ -38,6 +38,7 @@ class Simulation:
         seed: int = consts.RNG_SEED,
         config: engine_mod.EngineConfig | None = None,
         emit_chunk: int = 1 << 20,
+        wave_tail_exit: int | None = None,
     ):
         self.photon_n = photon_n
         self.emit_chunk = emit_chunk
@@ -78,8 +79,19 @@ class Simulation:
         )
 
         self.key = random.PRNGKey(seed)
-        self.engine = engine_mod.make_engine(self.mc, self.tables, self.prims, self.cfg)
+        # Main engine exits each wave once the backlog is drained and only a
+        # small tail of stragglers remains (they roll into the next wave);
+        # a narrow tail engine finishes the final stragglers so a handful of
+        # long-lived photons never hold the full-width pool hostage.
+        if wave_tail_exit is None:
+            wave_tail_exit = max(1, self.cfg.n_pool // 16)
+        wave_cfg = self.cfg._replace(tail_exit=wave_tail_exit)
+        self.engine = engine_mod.make_engine(self.mc, self.tables, self.prims, wave_cfg)
         self._run_jit = jax.jit(self.engine["run"], donate_argnums=(0,))
+        self.tail_cfg = self.cfg._replace(
+            n_pool=max(256, self.cfg.n_pool // 64), tail_exit=0
+        )
+        self._tail = None  # built lazily on first drain
         self._sample_jit = jax.jit(
             lambda key, zi, zj: emission.sample_photons(
                 key, zi, zj, self.zone_x, self.fluid_zone, self.e_con_z,
@@ -117,6 +129,65 @@ class Simulation:
         return batch
 
     # ------------------------------------------------------------------
+    def _drain_tail(self, state):
+        """Finish leftover stragglers in a narrow pool.
+
+        Gathers the occupied lanes of the wide pool into a pool 64x
+        narrower and runs it to completion, carrying the spectrum, counters
+        and secondary buffer through.  Repeats until nothing is occupied.
+        """
+        if self._tail is None:
+            self._tail = engine_mod.make_engine(
+                self.mc, self.tables, self.prims, self.tail_cfg
+            )
+            self._tail_run = jax.jit(self._tail["run"], donate_argnums=(0,))
+            dummy = jax.device_get(self._sample_jit(
+                random.PRNGKey(0), jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32)
+            ))
+            self._tail_backlog = jax.tree.map(
+                lambda a: jnp.asarray(np.zeros_like(a)), dummy
+            )  # single zero-weight photon: dropped on load
+
+        n_t = self.tail_cfg.n_pool
+        while True:
+            occ = np.asarray(state.pool.occupied)
+            idx = np.nonzero(occ)[0]
+            if idx.size == 0 and int(state.sec.count) == 0:
+                break
+            take = idx[:n_t]
+            gather = np.zeros(n_t, np.int64)
+            gather[: take.size] = take
+            valid = np.zeros(n_t, bool)
+            valid[: take.size] = True
+            gi = jnp.asarray(gather)
+            vm = jnp.asarray(valid)
+
+            small = jax.tree.map(lambda a: a[gi], state.pool)
+            small = small._replace(
+                occupied=small.occupied & vm,
+                alive=small.alive & vm,
+                pend_push=small.pend_push & vm,
+                at_event=small.at_event & vm,
+                record_pending=small.record_pending & vm,
+            )
+            tstate = engine_mod.State(
+                pool=small, spec=state.spec, counters=state.counters,
+                sec=state.sec, backlog_pos=jnp.zeros((), jnp.int32),
+                key=state.key, it=jnp.zeros((), jnp.int32),
+            )
+            tstate = self._tail_run(tstate, self._tail_backlog)
+            # clear the taken lanes from the wide pool
+            wide = state.pool
+            drop = jnp.zeros(occ.shape, bool).at[jnp.asarray(take)].set(True)
+            wide = wide._replace(
+                occupied=wide.occupied & ~drop, alive=wide.alive & ~drop,
+            )
+            state = state._replace(
+                pool=wide, spec=tstate.spec, counters=tstate.counters,
+                sec=tstate.sec, key=tstate.key,
+            )
+        return state
+
     def run(self):
         """Emit + track everything; returns (spectrum_rows, stats)."""
         t0 = time.time()
@@ -140,6 +211,7 @@ class Simulation:
                 int(counters.n_scatt_rec), done / max(elapsed, 1e-9),
             )
 
+        state = self._drain_tail(state)
         state.spec.block_until_ready()
         elapsed = time.time() - t0
         counters = jax.device_get(state.counters)

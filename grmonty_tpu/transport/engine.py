@@ -56,6 +56,9 @@ class EngineConfig(typing.NamedTuple):
     sec_cap: int = 65536  # secondary ring-buffer capacity
     max_inner: int = 256  # cap on push sub-segment rounds
     max_outer: int = 50_000_000  # hard safety cap on hot iterations per wave
+    tail_exit: int = 0  # exit the wave once backlog is drained and at most
+    #   this many lanes remain occupied (they carry over to the next wave)
+    stall_steps: int = consts.MAX_N_STEP  # per-photon step cap (reference value)
     dtype: typing.Any = jnp.float64
 
 
@@ -421,10 +424,12 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
             alive=p.alive & ~absorbed,
         )
 
-        # Step count bookkeeping (consts.hpp:55).
+        # Step count bookkeeping (consts.hpp:55; the cap is configurable —
+        # the reference tolerates 1.28e6-step stragglers at scalar cost, but
+        # in lockstep batches they dominate wall-clock).
         stepped = moving
         n_step = p.n_step + stepped.astype(jnp.int32)
-        over = stepped & (n_step > consts.MAX_N_STEP)
+        over = stepped & (n_step > cfg.stall_steps)
         p = p._replace(n_step=n_step, alive=p.alive & ~over)
 
         return state._replace(pool=p, key=key, it=state.it + 1)
@@ -678,7 +683,7 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
 
         def cond(state):
             return (
-                jnp.any(state.pool.occupied)
+                (jnp.sum(state.pool.occupied) > cfg.tail_exit)
                 | (state.backlog_pos < t_total)
                 | (state.sec.count > 0)
             ) & (state.it < cfg.max_outer)

@@ -1,0 +1,67 @@
+"""Fluid-state reconstruction tests on the synthetic torus."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from grmonty_tpu.ops import fluid, geometry, tetrads
+
+
+def _setup(torus_model):
+    mc = fluid.make_model_consts(torus_model)
+    prims = jnp.asarray(torus_model.data.stacked())
+    zone_x, g_cov, g_con, g_det = fluid.precompute_zone_geometry(mc)
+    return mc, prims, zone_x, g_cov, g_con, g_det
+
+
+def test_u_normalization(torus_model):
+    """u.u = -1 for the reconstructed 4-velocity in every zone."""
+    mc, prims, zone_x, g_cov, g_con, _ = _setup(torus_model)
+    fz = fluid.get_fluid_zone(prims, g_cov, g_con, mc)
+    norm = np.asarray(tetrads.dot(fz.u_con, fz.u_con, g_cov))
+    np.testing.assert_allclose(norm, -1.0, atol=1e-10)
+
+
+def test_b_orthogonal_to_u(torus_model):
+    """b.u = 0 by construction of the magnetic 4-vector."""
+    mc, prims, zone_x, g_cov, g_con, _ = _setup(torus_model)
+    fz = fluid.get_fluid_zone(prims, g_cov, g_con, mc)
+    bu = np.asarray(jnp.einsum("...i,...ij,...j->...", fz.b_con, g_cov, fz.u_con))
+    scale = np.abs(np.asarray(fz.b_con)).max(-1) + 1e-30
+    np.testing.assert_allclose(bu / scale, 0.0, atol=1e-9)
+
+
+def test_params_match_zone_at_centers(torus_model):
+    """Bilinear interpolation at zone centers reproduces the zone state."""
+    mc, prims, zone_x, g_cov, g_con, _ = _setup(torus_model)
+    fz = fluid.get_fluid_zone(prims, g_cov, g_con, mc)
+
+    # interior zone centers (avoid the clamped boundary ring)
+    idx = [(10, 10), (31, 16), (50, 5), (20, 25)]
+    for i, j in idx:
+        x = zone_x[i, j]
+        fp = fluid.get_fluid_params(x, g_cov[i, j], prims, mc)
+        assert np.isclose(float(fp.n_e), float(fz.n_e[i, j]), rtol=1e-8)
+        assert np.isclose(float(fp.theta_e), float(fz.theta_e[i, j]), rtol=1e-8)
+        assert np.isclose(float(fp.b), float(fz.b[i, j]), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(fp.u_con), np.asarray(fz.u_con[i, j]), rtol=1e-7, atol=1e-12
+        )
+
+
+def test_outside_grid_sentinel(torus_model):
+    """n_e = 0 outside the grid (harm_model.cpp:599-603)."""
+    mc, prims, zone_x, g_cov_z, _, _ = _setup(torus_model)
+    x = jnp.array([0.0, mc.x_stop[1] + 1.0, 0.5, 0.0])
+    g_cov = geometry.gcov(x, mc.a, mc.h_slope, mc.r_0)
+    fp = fluid.get_fluid_params(x, g_cov, prims, mc)
+    assert float(fp.n_e) == 0.0
+
+
+def test_zone_geometry_det(torus_model):
+    """sqrt|det g| from linalg matches an independent product formula check."""
+    mc, prims, zone_x, g_cov, g_con, g_det = _setup(torus_model)
+    # det(g_cov) * det(g_con) == 1
+    d1 = np.linalg.det(np.asarray(g_cov))
+    d2 = np.linalg.det(np.asarray(g_con))
+    np.testing.assert_allclose(d1 * d2, 1.0, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(g_det), np.sqrt(np.abs(d1)), rtol=1e-12)

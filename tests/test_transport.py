@@ -1,0 +1,160 @@
+"""Transport engine tests: geodesic integrity, scattering kinematics,
+end-to-end conservation, engine-vs-oracle statistical parity."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import random
+
+from grmonty_tpu import consts
+from grmonty_tpu.ops import emission, fluid, geometry, scattering, tetrads
+from grmonty_tpu.transport import engine as engine_mod
+
+
+@pytest.fixture(scope="module")
+def sim(tmp_path_factory):
+    from grmonty_tpu.models import torus
+    from grmonty_tpu.transport import driver
+
+    path = tmp_path_factory.mktemp("dumps") / "torus_dump"
+    torus.write_torus_dump(str(path), n1=64, n2=32)
+    cfg = engine_mod.EngineConfig(
+        n_pool=512, m_period=8, sec_cap=8192, max_outer=40000
+    )
+    return driver.Simulation(
+        str(path), photon_n=150, mass_unit=4.0e18, config=cfg, emit_chunk=4096
+    )
+
+
+def _null_residual(sim, x, k):
+    g = geometry.gcov(x, sim.mc.a, sim.mc.h_slope, sim.mc.r_0)
+    kk = jnp.einsum("...i,...ij,...j->...", k, g, k)
+    return np.asarray(kk / (k[..., 0] ** 2 * jnp.abs(g[..., 0, 0]) + 1e-300))
+
+
+def test_emitted_photons_are_null(sim):
+    plan = sim.plan()
+    batch = sim.emit(plan, 0, 1024)
+    live = np.asarray(batch.w) > 0
+    res = _null_residual(sim, batch.x, batch.k)[live]
+    assert np.abs(res).max() < 1e-8
+
+
+def test_push_preserves_nullness_and_energy(sim):
+    """March emitted photons 400 steps with the engine's push; k.k stays on
+    the light cone and the conserved energy drifts < tolerance."""
+    plan = sim.plan()
+    batch = sim.emit(plan, 0, 256)
+    live = np.asarray(batch.w) > 0
+
+    x, k = batch.x, batch.k
+    conn = geometry.connection(x, sim.mc.a, sim.mc.h_slope)
+    dk = geometry.geodesic_rhs(conn, k)
+    e0s = batch.e
+    push = sim.engine["push_batch"]
+    active = jnp.asarray(live)
+
+    @jax.jit
+    def step(carry):
+        x, k, dk, e0s, active = carry
+        dl = geometry.step_size(x, k, sim.mc.x_stop[2])
+        x, k, dk, e0s = push(x, k, dk, e0s, dl, active)
+        active = active & (x[:, 1] > sim.mc.x1_min) & (x[:, 1] < consts.X1_MAX)
+        return x, k, dk, e0s, active
+
+    carry = (x, k, dk, e0s, active)
+    for _ in range(400):
+        carry = step(carry)
+    x, k, dk, e0s, active = carry
+    act = np.asarray(active)
+    if act.sum() == 0:
+        pytest.skip("all photons left the domain early")
+    res = np.abs(_null_residual(sim, x, k)[act])
+    # null residual: overwhelmingly tiny; no lane catastrophically off-cone
+    assert np.median(res) < 1e-6
+    assert res.max() < 1e-2
+    # conserved energy tracks the initial energy-at-infinity
+    e_drift = np.abs(np.asarray(e0s)[act] / np.asarray(batch.e)[act] - 1.0)
+    assert np.median(e_drift) < 1e-3
+
+
+def test_scatter_event_preserves_nullness(sim):
+    """Secondary wave vectors from scatter_event are null."""
+    plan = sim.plan()
+    batch = sim.emit(plan, 0, 512)
+    live = np.asarray(batch.w) > 0
+    x = batch.x
+    g_cov = geometry.gcov(x, sim.mc.a, sim.mc.h_slope, sim.mc.r_0)
+    fs = fluid.get_fluid_params(x, g_cov, sim.prims, sim.mc)
+    res = scattering.scatter_event(random.PRNGKey(0), batch.k, fs, g_cov, sim.mc.b_unit)
+    made = np.asarray(res.made) & live & (np.asarray(fs.n_e) > 0)
+    assert made.sum() > 50
+    nres = _null_residual(sim, x, res.k_sec)[made]
+    assert np.abs(nres).max() < 1e-6
+    # scattered energies positive
+    assert (np.asarray(res.e_sec)[made] > 0).all()
+
+
+def test_scattered_energy_shift_direction(sim):
+    """Hot electrons on soft photons: inverse-Compton up-scattering on
+    average (mean secondary energy > mean parent energy)."""
+    plan = sim.plan()
+    batch = sim.emit(plan, 0, 1024)
+    live = np.asarray(batch.w) > 0
+    x = batch.x
+    g_cov = geometry.gcov(x, sim.mc.a, sim.mc.h_slope, sim.mc.r_0)
+    fs = fluid.get_fluid_params(x, g_cov, sim.prims, sim.mc)
+    hot = np.asarray(fs.theta_e) > 5.0
+    res = scattering.scatter_event(random.PRNGKey(1), batch.k, fs, g_cov, sim.mc.b_unit)
+    sel = np.asarray(res.made) & live & hot & (np.asarray(fs.n_e) > 0)
+    assert sel.sum() > 30
+    ratio = np.asarray(res.e_sec)[sel] / np.asarray(batch.e)[sel]
+    assert np.mean(np.log(ratio)) > 0.5  # strong mean amplification
+
+
+def test_engine_end_to_end(sim):
+    """Full engine wave: terminates, records, conserves photon accounting."""
+    plan = sim.plan()
+    backlog = sim.emit(plan, 0, 4096)
+    state = sim.engine["fresh_state"](random.PRNGKey(2))
+    state = sim._run_jit(state, backlog)
+    c = jax.device_get(state.counters)
+    p = jax.device_get(state.pool)
+    assert int(state.it) < sim.cfg.max_outer, "engine hit the safety cap"
+    assert not p.occupied.any()
+    assert int(c.n_recorded) > 0
+    spec = np.asarray(state.spec)
+    nph = spec[: engine_mod.N_BINS, 2].sum()
+    assert nph == int(c.n_recorded) - 0  # every recorded photon binned once
+    assert np.isfinite(spec).all()
+    # luminosity positive
+    assert spec[: engine_mod.N_BINS, 1].sum() > 0
+
+
+def test_engine_vs_oracle_statistics(sim):
+    """The batch engine agrees statistically with the scalar CPU oracle on
+    per-primary recorded counts and luminosity."""
+    from grmonty_tpu.transport import cpu_reference
+
+    plan = sim.plan()
+    backlog = sim.emit(plan, 0, 4096)
+    state = sim.engine["fresh_state"](random.PRNGKey(3))
+    state = sim._run_jit(state, backlog)
+    c = jax.device_get(state.counters)
+    n_eng = min(plan.total, 4096)
+    eng_rec = int(c.n_recorded) / n_eng
+    eng_lum = float(np.asarray(state.spec)[: engine_mod.N_BINS, 1].sum()) / n_eng
+
+    bl_host = jax.device_get(backlog)
+    tr = cpu_reference.CPUTracker(sim.mc, sim.tables, sim.prims, seed=17)
+    n_orc = 40
+    tr.run(bl_host, limit=n_orc)
+    orc_rec = tr.n_recorded / n_orc
+    orc_lum = tr.spec[:, :, 1].sum() / n_orc
+
+    # Coarse statistical agreement (small samples, heavy-tailed weights).
+    assert eng_rec == pytest.approx(orc_rec, rel=0.5)
+    assert math.log10(eng_lum) == pytest.approx(math.log10(orc_lum), abs=0.5)
