@@ -22,8 +22,21 @@ float64 is the parity default, float32 is ~4x faster on TPU and passes the
 same statistical spectrum checks.
 """
 
+import os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: remote TPU compiles through the axon tunnel
+# take minutes; caching the compiled executables makes re-runs instant.
+_cache_dir = os.environ.get(
+    "GRMONTY_JAX_CACHE", os.path.expanduser("~/.cache/grmonty_tpu_jax")
+)
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover - older jax
+    pass
 
 __version__ = "0.1.0"

@@ -12,7 +12,11 @@ RNG_SEED = 123  # reproducibility seed (reference consts.hpp:14)
 N_DIM = 4  # spacetime dimensions (t, r, theta, phi)
 N_PRIM = 8  # primitive fluid variables kept from a HARM dump
 
-EPS = 1.0e-40  # tiny value guarding divisions
+# Tiny value guarding divisions.  The reference uses 1e-40 (consts.hpp:21);
+# TPU f64 is float32-pair emulation with f32 exponent RANGE, so anything
+# below ~1.2e-38 flushes to zero on device — 1e-30 keeps the guards alive on
+# both backends (every guarded quantity is >> 1e-30 or exactly 0).
+EPS = 1.0e-30
 
 # ---------------------------------------------------------------------------
 # Photon frequency sampling and spectrum binning (consts.hpp:23-36)

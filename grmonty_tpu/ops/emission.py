@@ -293,7 +293,7 @@ def zone_tetrads(fluid_zone, g_cov, b_unit):
     b_code_mag = fluid_zone.b / b_unit
     b_hat = jnp.where(
         (fluid_zone.b > 0.0)[..., None],
-        fluid_zone.b_con / jnp.maximum(b_code_mag, 1e-300)[..., None],
+        fluid_zone.b_con / jnp.maximum(b_code_mag, 1e-30)[..., None],
         jnp.zeros_like(fluid_zone.b_con).at[..., 0].set(1.0),
     )
     return tetrads.make_tetrad(fluid_zone.u_con, b_hat, g_cov)

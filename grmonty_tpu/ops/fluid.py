@@ -16,7 +16,7 @@ import typing
 import jax.numpy as jnp
 
 from grmonty_tpu import consts
-from grmonty_tpu.ops import geometry, tetrads
+from grmonty_tpu.ops import geometry, linalg, tetrads
 
 
 class ModelConsts(typing.NamedTuple):
@@ -136,7 +136,7 @@ def precompute_zone_geometry(mc, dtype=jnp.float64):
     x = geometry.zone_center(ii, jj, mc.x_start, mc.dx)
     g_cov = geometry.gcov(x, mc.a, mc.h_slope, mc.r_0)
     g_con = geometry.gcon(x, mc.a, mc.h_slope, mc.r_0)
-    g_det = jnp.sqrt(jnp.abs(jnp.linalg.det(g_cov)))
+    g_det = jnp.sqrt(jnp.abs(linalg.det(g_cov)))  # closed form: TPU f64 has no LU
     return x, g_cov, g_con, g_det
 
 

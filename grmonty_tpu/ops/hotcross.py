@@ -125,8 +125,8 @@ def lookup(w, theta_e, table):
     Fallback branches follow hotcross.cpp:81-106 (see module docstring for
     the out-of-range deviation).
     """
-    l_w = (jnp.log10(jnp.maximum(w, 1e-300)) - HC.L_MIN_W) / HC.D_L_W
-    l_t = (jnp.log10(jnp.maximum(theta_e, 1e-300)) - HC.L_MIN_T) / HC.D_L_T
+    l_w = (jnp.log10(jnp.maximum(w, 1e-30)) - HC.L_MIN_W) / HC.D_L_W
+    l_t = (jnp.log10(jnp.maximum(theta_e, 1e-30)) - HC.L_MIN_T) / HC.D_L_T
     l_w = jnp.clip(l_w, 0.0, HC.N_W - 1.0e-9)
     l_t = jnp.clip(l_t, 0.0, HC.N_T - 1.0e-9)
     i = jnp.floor(l_w).astype(jnp.int32)

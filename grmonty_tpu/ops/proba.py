@@ -89,7 +89,7 @@ def sample_mu_distr(key, beta_e):
     """Pitch-angle cosine weighted by relative flux (proba.cpp:168-172)."""
     x1 = random.uniform(key, beta_e.shape, beta_e.dtype)
     det = 1.0 + 2.0 * beta_e + beta_e * beta_e - 4.0 * beta_e * x1
-    return (1.0 - jnp.sqrt(det)) / (beta_e + 1e-300)
+    return (1.0 - jnp.sqrt(det)) / (beta_e + 1e-30)
 
 
 def sample_rand_dir(key, shape, dtype):
@@ -103,7 +103,7 @@ def sample_rand_dir(key, shape, dtype):
 
 def _sigma_kn_total(k_eff):
     """Total KN cross-section / sigma_T at photon energy k_eff (proba.cpp:50-55)."""
-    k = jnp.maximum(k_eff, 1e-300)
+    k = jnp.maximum(k_eff, 1e-30)
     full = (3.0 / (4.0 * k * k)) * (
         2.0
         + k * k * (1.0 + k) / ((1.0 + 2.0 * k) ** 2)

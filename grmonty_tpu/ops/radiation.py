@@ -43,16 +43,32 @@ def alpha_inv_scatt(nu, theta_e, n_e, hotcross_table):
     return nu * sigma * n_e
 
 
-def b_nu_inv(nu, theta_e):
-    """Inverse-squared-frequency Planck function B_nu/nu^2 (radiation.cpp:121-129)."""
+def b_nu(nu, theta_e):
+    """Planck function B_nu with the reference's small-x series
+    (radiation.cpp:121-129 computes B_nu/nu^2; we keep B_nu itself because
+    the 2h/c^2 ~ 1.5e-47 prefactor of B_nu/nu^2 underflows the TPU f64
+    emulation's f32 exponent range — the nu^2 factors cancel in Kirchhoff's
+    law anyway)."""
     x = consts.HPL * nu / (consts.ME * consts.CL * consts.CL * theta_e + consts.EPS)
-    pref = 2.0 * consts.HPL / (consts.CL * consts.CL)
+    # Factor so every intermediate stays inside the f32 exponent range the
+    # TPU f64 emulation supports (2h/c^2 alone is 1.47e-47 -> flushes to 0).
+    pref = (2.0 * consts.HPL * nu) * (nu / consts.CL) * (nu / consts.CL)
     series = pref / (x / 24.0 * (24.0 + x * (12.0 + x * (4.0 + x))) + consts.EPS)
-    full = pref / (jnp.expm1(jnp.minimum(x, 700.0)) + consts.EPS)
+    full = pref / (jnp.expm1(jnp.minimum(x, 80.0)) + consts.EPS)
     return jnp.where(x < 1.0e-3, series, full)
 
 
+def b_nu_inv(nu, theta_e):
+    """B_nu / nu^3 (the reference's invariant form; CPU/test use only)."""
+    return b_nu(nu, theta_e) / (nu * nu * nu)
+
+
 def alpha_inv_abs(nu, theta_e, n_e, b, theta, k2_table):
-    """Invariant absorption opacity via Kirchhoff's law (radiation.cpp:109-119)."""
-    j_inv = jnu.synch(nu, n_e, theta_e, b, theta, k2_table) / (nu * nu + consts.EPS)
-    return j_inv / (b_nu_inv(nu, theta_e) + 1.0e-100)
+    """Invariant absorption opacity via Kirchhoff's law (radiation.cpp:109-119).
+
+    alpha_inv = (j_nu/nu^2) / (B_nu/nu^3) = nu * j_nu / B_nu — evaluated
+    without the underflowing small intermediates (2h/c^2 ~ 1.5e-47 is below
+    the TPU f64 emulation's exponent range).
+    """
+    j = jnu.synch(nu, n_e, theta_e, b, theta, k2_table)
+    return nu * j / (b_nu(nu, theta_e) + consts.EPS)

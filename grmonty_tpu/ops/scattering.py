@@ -95,7 +95,7 @@ def scatter_event(key, k_coord, fluid, g_cov, b_unit) -> ScatterResult:
     b_code = fluid.b / b_unit
     b_hat = jnp.where(
         (fluid.b > 0.0)[..., None],
-        fluid.b_con / jnp.maximum(b_code, 1e-300)[..., None],
+        fluid.b_con / jnp.maximum(b_code, 1e-30)[..., None],
         jnp.zeros_like(fluid.b_con).at[..., 1].set(1.0),
     )
 

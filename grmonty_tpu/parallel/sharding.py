@@ -146,7 +146,9 @@ class ShardedSimulation(driver_mod.Simulation):
             )
             state = self._run_jit(state, backlog)
         spec, counters = self._reduce(state)
-        spec = jax.device_get(spec)
+        spec = driver_mod.unscale_spectrum(
+            np.asarray(jax.device_get(spec)), self.cfg.weight_scale
+        )
         counters = jax.device_get(counters)
         elapsed = time.time() - t0
         stats = {

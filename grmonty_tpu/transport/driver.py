@@ -26,6 +26,18 @@ from grmonty_tpu.utils import cache
 
 log = logging.getLogger("grmonty")
 
+# Spectrum accumulator channels carrying photon weight (all but nph, nscatt).
+_W_CHANNELS = [0, 1, 4, 5, 6, 7, 8, 9, 10, 11, 12]
+
+
+def unscale_spectrum(spec: np.ndarray, weight_scale: float) -> np.ndarray:
+    """Undo the engine's weight scaling on the weighted accumulator channels."""
+    if weight_scale == 1.0:
+        return spec
+    spec = spec.copy()
+    spec[:, _W_CHANNELS] /= weight_scale
+    return spec
+
 
 class Simulation:
     """One HARM snapshot + photon budget -> spectrum."""
@@ -39,9 +51,13 @@ class Simulation:
         config: engine_mod.EngineConfig | None = None,
         emit_chunk: int = 1 << 20,
         wave_tail_exit: int | None = None,
+        slice_iters: int = 512,  # per-dispatch iteration budget: long-running
+        # while_loops (>~10 s) trip the tunneled TPU runtime's watchdog
+        warmup: int = 1024,
     ):
         self.photon_n = photon_n
         self.emit_chunk = emit_chunk
+        self.warmup = warmup
         self.cfg = config or engine_mod.EngineConfig()
         dt = self.cfg.dtype
 
@@ -51,32 +67,54 @@ class Simulation:
         log.info("Initializing tables")
         f_table, k2_table = cache.jnu_tables()
         hc = cache.hotcross_table()
-        self.prims = jnp.asarray(self.model.data.stacked())
 
-        # Zone-centred geometry + fluid state (harm_model.cpp:242-266,538-593).
-        self.zone_x, self.g_cov_z, self.g_con_z, self.g_det_z = (
-            fluid.precompute_zone_geometry(self.mc)
-        )
-        self.fluid_zone = fluid.get_fluid_zone(
-            self.prims, self.g_cov_z, self.g_con_z, self.mc
-        )
+        # All init-time table construction runs on the host CPU backend
+        # (native f64, no remote compiles), mirroring the reference's
+        # host-side init; only the results ship to the accelerator.
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            prims = jnp.asarray(self.model.data.stacked())
+            zone_x, g_cov_z, g_con_z, g_det_z = fluid.precompute_zone_geometry(self.mc)
+            fluid_zone = fluid.get_fluid_zone(prims, g_cov_z, g_con_z, self.mc)
+            f_t = jnp.asarray(f_table)
+            k2_t = jnp.asarray(k2_table)
+            weights = emission.weight_table(
+                fluid_zone, g_det_z, self.mc, photon_n, f_t, k2_t
+            )
+            nint_t, dndmax_t = emission.nint_table(weights, self.mc, f_t)
+            nz, dn_max = emission.zone_budgets(
+                fluid_zone, g_det_z, nint_t, dndmax_t, k2_t, photon_n
+            )
+            e_con_z, e_cov_z = emission.zone_tetrads(
+                fluid_zone, g_cov_z, self.mc.b_unit
+            )
 
-        f_t = jnp.asarray(f_table)
-        k2_t = jnp.asarray(k2_table)
-        weights = emission.weight_table(
-            self.fluid_zone, self.g_det_z, self.mc, photon_n, f_t, k2_t
-        )
+        put = jax.device_put
+        self.prims = put(np.asarray(prims))
+        self.g_det_z = put(np.asarray(g_det_z))
         self.tables = engine_mod.Tables(
-            f_table=f_t, k2_table=k2_t, hotcross=jnp.asarray(hc), weights=weights
+            f_table=put(np.asarray(f_t)),
+            k2_table=put(np.asarray(k2_t)),
+            hotcross=put(np.asarray(hc)),
+            weights=put(np.asarray(weights)),
         )
-
-        nint_t, dndmax_t = emission.nint_table(weights, self.mc, f_t)
-        self.nz, self.dn_max = emission.zone_budgets(
-            self.fluid_zone, self.g_det_z, nint_t, dndmax_t, k2_t, photon_n
-        )
-        self.e_con_z, self.e_cov_z = emission.zone_tetrads(
-            self.fluid_zone, self.g_cov_z, self.mc.b_unit
-        )
+        self.nz = np.asarray(nz)
+        # Emission sampling inputs stay on the host CPU backend: the zone
+        # sampler is init-adjacent host work in the reference too
+        # (producer threads, harm_model.cpp:813-892), and the engine only
+        # ever sees the finished InitPhotons batches.
+        cput = lambda a: jax.device_put(np.asarray(a), cpu)
+        self._cpu_dev = cpu
+        self.zone_x = cput(zone_x)
+        self.g_cov_z = cput(g_cov_z)
+        self.g_con_z = cput(g_con_z)
+        self.fluid_zone = jax.tree.map(cput, fluid_zone)
+        self.dn_max = cput(dn_max)
+        self.e_con_z = cput(e_con_z)
+        self.e_cov_z = cput(e_cov_z)
+        self._weights_cpu = cput(weights)
+        self._f_cpu = cput(f_t)
+        self._k2_cpu = cput(k2_t)
 
         self.key = random.PRNGKey(seed)
         # Main engine exits each wave once the backlog is drained and only a
@@ -85,18 +123,27 @@ class Simulation:
         # long-lived photons never hold the full-width pool hostage.
         if wave_tail_exit is None:
             wave_tail_exit = max(1, self.cfg.n_pool // 16)
-        wave_cfg = self.cfg._replace(tail_exit=wave_tail_exit)
+        self._wave_tail_exit = wave_tail_exit
+        # Each engine call runs at most slice_iters hot iterations so the
+        # host can log progress between slices (1 Hz-style telemetry).
+        wave_cfg = self.cfg._replace(
+            tail_exit=wave_tail_exit,
+            max_outer=min(self.cfg.max_outer, slice_iters),
+        )
         self.engine = engine_mod.make_engine(self.mc, self.tables, self.prims, wave_cfg)
-        self._run_jit = jax.jit(self.engine["run"], donate_argnums=(0,))
+        self._run_jit = jax.jit(self.engine["run"])  # donation disabled: faults the axon TPU runtime
         self.tail_cfg = self.cfg._replace(
-            n_pool=max(256, self.cfg.n_pool // 64), tail_exit=0
+            n_pool=max(256, self.cfg.n_pool // 64), tail_exit=0,
+            max_outer=min(self.cfg.max_outer, 16 * slice_iters),
         )
         self._tail = None  # built lazily on first drain
+        # Sampler runs on CPU (f64) regardless of the engine dtype; inputs
+        # are committed to the CPU device so jit compiles there.
         self._sample_jit = jax.jit(
             lambda key, zi, zj: emission.sample_photons(
                 key, zi, zj, self.zone_x, self.fluid_zone, self.e_con_z,
-                self.e_cov_z, self.dn_max, self.tables.weights,
-                self.tables.f_table, self.tables.k2_table, dtype=dt,
+                self.e_cov_z, self.dn_max, self._weights_cpu,
+                self._f_cpu, self._k2_cpu, dtype=jnp.float64,
             )
         )
         log.info("Initializing done")
@@ -105,30 +152,76 @@ class Simulation:
     def plan(self) -> emission.EmissionPlan:
         """Per-zone photon counts -> flat photon->zone map (harm_model.cpp:673-704)."""
         self.key, k = random.split(self.key)
-        counts = np.asarray(emission.zone_counts(k, self.nz))
+        with jax.default_device(jax.devices("cpu")[0]):
+            counts = np.asarray(emission.zone_counts(k, jnp.asarray(self.nz)))
         plan = emission.plan_emission(counts)
         log.info("Emission plan: %d superphotons from %d zones",
                  plan.total, int((counts > 0).sum()))
         return plan
 
-    def emit(self, plan: emission.EmissionPlan, start: int, count: int):
-        """Sample a [start, start+count) slice of the plan into an InitPhotons
-        batch (padded to ``count`` with zero-weight photons that the engine
-        drops on load)."""
-        zi = plan.zone_i[start : start + count]
-        zj = plan.zone_j[start : start + count]
+    def emit(self, plan: emission.EmissionPlan, start: int, count: int,
+             limit: int | None = None):
+        """Sample a [start, start+min(count, limit)) slice of the plan into an
+        InitPhotons batch of shape ``count`` (padded with zero-weight photons
+        that the engine drops on load; fixed shape = one engine compile)."""
+        stop = start + (count if limit is None else min(count, limit))
+        zi = plan.zone_i[start:stop]
+        zj = plan.zone_j[start:stop]
         pad = count - zi.shape[0]
         if pad:
             zi = np.concatenate([zi, np.zeros(pad, np.int32)])
             zj = np.concatenate([zj, np.zeros(pad, np.int32)])
         self.key, k = random.split(self.key)
-        batch = self._sample_jit(k, jnp.asarray(zi), jnp.asarray(zj))
+        batch = self._sample_jit(
+            jax.device_put(np.asarray(k), self._cpu_dev),
+            jax.device_put(zi, self._cpu_dev),
+            jax.device_put(zj, self._cpu_dev),
+        )
+        w = np.asarray(batch.w) * self.cfg.weight_scale
         if pad:
-            w = batch.w.at[count - pad :].set(0.0)
-            batch = batch._replace(w=w)
-        return batch
+            w[count - pad :] = 0.0
+        # Ship to the accelerator in the engine dtype (weights pre-scaled by
+        # cfg.weight_scale so float32 engines stay in range).
+        dt = self.cfg.dtype
+        cast = lambda a: jax.device_put(np.asarray(a, dtype=dt))
+        return emission.InitPhotons(
+            x=cast(batch.x), k=cast(batch.k), w=jax.device_put(np.asarray(w, dt)),
+            e=cast(batch.e), l=cast(batch.l), n_e_0=cast(batch.n_e_0),
+            theta_e_0=cast(batch.theta_e_0), b_0=cast(batch.b_0),
+            e_0=cast(batch.e_0),
+            n_scatt=jax.device_put(np.asarray(batch.n_scatt, np.int32)),
+        )
 
     # ------------------------------------------------------------------
+    def _run_wave(self, state, backlog, t0, c, n_chunks, total, start=0):
+        """Run one backlog wave in bounded slices with rate telemetry
+        (the reference's 1 Hz photon-rate logging, harm_model.cpp:397-403)."""
+        while True:
+            state = self._run_jit(state, backlog)
+            state.spec.block_until_ready()
+            counters = jax.device_get(state.counters)
+            occupied = int(jax.device_get(state.pool.occupied.sum()))
+            pos = int(state.backlog_pos)
+            sec = int(state.sec.count)
+            elapsed = time.time() - t0
+            done = min(start + pos, total)
+            log.info(
+                "wave %d/%d: it=%d pos=%d occ=%d sec=%d rec=%d scatt=%d "
+                "| %.0f ph/s",
+                c + 1, n_chunks, int(state.it), done, occupied, sec,
+                int(counters.n_recorded), int(counters.n_scatt_rec),
+                done / max(elapsed, 1e-9),
+            )
+            finished = (
+                pos >= backlog.x.shape[0]
+                and sec == 0
+                and occupied <= self._wave_tail_exit
+            )
+            if finished:
+                break
+            state = state._replace(it=jnp.zeros((), jnp.int32))
+        return state
+
     def _drain_tail(self, state):
         """Finish leftover stragglers in a narrow pool.
 
@@ -140,7 +233,7 @@ class Simulation:
             self._tail = engine_mod.make_engine(
                 self.mc, self.tables, self.prims, self.tail_cfg
             )
-            self._tail_run = jax.jit(self._tail["run"], donate_argnums=(0,))
+            self._tail_run = jax.jit(self._tail["run"])
             dummy = jax.device_get(self._sample_jit(
                 random.PRNGKey(0), jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32)
             ))
@@ -175,7 +268,16 @@ class Simulation:
                 sec=state.sec, backlog_pos=jnp.zeros((), jnp.int32),
                 key=state.key, it=jnp.zeros((), jnp.int32),
             )
+            log.info("tail drain: %d stragglers (+%d queued secondaries)",
+                     take.size, int(state.sec.count))
             tstate = self._tail_run(tstate, self._tail_backlog)
+            while int(jax.device_get(tstate.pool.occupied.sum())) > 0 or int(tstate.sec.count) > 0:
+                log.info("tail drain: slice continues (occ=%d, nstep_max=%d)",
+                         int(jax.device_get(tstate.pool.occupied.sum())),
+                         int(jax.device_get(tstate.pool.n_step.max())))
+                tstate = self._tail_run(
+                    tstate._replace(it=jnp.zeros((), jnp.int32)), self._tail_backlog
+                )
             # clear the taken lanes from the wide pool
             wide = state.pool
             drop = jnp.zeros(occ.shape, bool).at[jnp.asarray(take)].set(True)
@@ -196,20 +298,25 @@ class Simulation:
         state = self.engine["fresh_state"](k_eng)
 
         chunk = self.emit_chunk
-        n_chunks = max(1, -(-plan.total // chunk))
-        done = 0
-        for c in range(n_chunks):
-            backlog = self.emit(plan, c * chunk, chunk)
-            state = self._run_jit(state, backlog)
-            done = min((c + 1) * chunk, plan.total)
-            counters = jax.device_get(state.counters)
-            elapsed = time.time() - t0
-            log.info(
-                "wave %d/%d: %d emitted, %d recorded, %d scatters(rec), "
-                "%.0f ph/s",
-                c + 1, n_chunks, done, int(counters.n_recorded),
-                int(counters.n_scatt_rec), done / max(elapsed, 1e-9),
-            )
+        # Warmup: a small pilot wave equilibrates the bias-feedback counters
+        # (max_tau_scatt, avg_num_scatt) before the bulk waves.  The
+        # sequential reference gets this for free (its counters warm within
+        # the first few recursively-tracked photons); launching the full
+        # batch cold would run the scattering bias at its huge initial
+        # value and explode the secondary population.
+        warm = min(self.warmup, plan.total)
+        starts = [0]
+        if 0 < warm < plan.total:
+            starts.append(warm)
+        waves = []
+        for i, s in enumerate(starts):
+            end = starts[i + 1] if i + 1 < len(starts) else plan.total
+            for cs in range(s, end, chunk):
+                waves.append((cs, min(chunk, end - cs)))
+        for c, (start, limit) in enumerate(waves):
+            backlog = self.emit(plan, start, chunk, limit=limit)
+            state = self._run_wave(state, backlog, t0, c, len(waves), plan.total,
+                                   start=start)
 
         state = self._drain_tail(state)
         state.spec.block_until_ready()
@@ -227,8 +334,10 @@ class Simulation:
         log.info("Final rate %.2f ph/s", stats["photon_rate"])
         log.info("Super photons: created %d, recorded %d",
                  stats["n_created"], stats["n_recorded"])
+        spec = unscale_spectrum(np.asarray(state.spec), self.cfg.weight_scale)
+        state = state._replace(spec=jnp.asarray(spec))
         self.state = state
-        return np.asarray(state.spec), stats
+        return spec, stats
 
     def report(self, spectrum_path: str, spec=None):
         spec = self.state.spec if spec is None else spec

@@ -60,6 +60,12 @@ class EngineConfig(typing.NamedTuple):
     #   this many lanes remain occupied (they carry over to the next wave)
     stall_steps: int = consts.MAX_N_STEP  # per-photon step cap (reference value)
     dtype: typing.Any = jnp.float64
+    # Global factor applied to photon weights on emission.  Raw grmonty
+    # weights reach ~1e50; TPU float64 is float32-pair emulation whose
+    # exponent RANGE is f32's (~3.4e38), so unscaled weights overflow to inf
+    # on device.  All weight comparisons scale with this factor and the
+    # spectrum is unscaled at report time, so it is physically inert.
+    weight_scale: float = 1.0e-25
 
 
 class Tables(typing.NamedTuple):
@@ -176,6 +182,11 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
     a, hs, r0 = mc.a, mc.h_slope, mc.r_0
     x2_stop = mc.x_stop[2]
     d_tau_k = mc.d_tau_k
+    weight_min = consts.WEIGHT_MIN * cfg.weight_scale
+    # Cast lookup tables and primitives to the engine dtype so a float32
+    # engine doesn't silently promote every op to f64.
+    tables = Tables(*(jnp.asarray(t, dt) for t in tables))
+    prims = jnp.asarray(prims, dt)
 
     # ------------------------------------------------------------------
     # physics helpers
@@ -196,7 +207,7 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
 
     def bias_func(theta_e, w, counters):
         """Scattering bias (harm_model.cpp:1391-1404) from loop-carried counters."""
-        cap = 0.5 * w / consts.WEIGHT_MIN
+        cap = 0.5 * w / weight_min
         avg_scatt = counters.n_scatt_rec.astype(dt) / (
             counters.n_recorded.astype(dt) + 1.0
         )
@@ -301,7 +312,7 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
         u = random.uniform(key, p.w.shape, dt)
         horizon = p.x[:, 1] < mc.x1_min
         escaped = p.x[:, 1] > consts.X1_MAX
-        small = p.w < consts.WEIGHT_MIN
+        small = p.w < weight_min
 
         win = u <= (1.0 / consts.ROULETTE)
         w_roul = jnp.where(win, p.w * consts.ROULETTE, 0.0)
@@ -384,9 +395,9 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
         alpha_absi = jnp.where(inter, jnp.where(dead_branch, 0.0, a_abf), p.alpha_absi)
         bi = jnp.where(inter, jnp.where(dead_branch, 0.0, bf), p.bi)
 
-        x1r = -jnp.log(random.uniform(k_x1, p.w.shape, dt) + 1e-300)
+        x1r = -jnp.log(random.uniform(k_x1, p.w.shape, dt) + 1e-30)
         sec_w = p.w / jnp.maximum(bias, consts.EPS)
-        scatter = inter & (bias * d_tau_scatt > x1r) & (sec_w > consts.WEIGHT_MIN)
+        scatter = inter & (bias * d_tau_scatt > x1r) & (sec_w > weight_min)
 
         frac = jnp.where(scatter, x1r / (bias * d_tau_scatt + consts.EPS), 1.0)
         d_tau_abs_eff = d_tau_abs * frac
@@ -448,7 +459,7 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
             jnp.floor(p.x[:, 2] / dx2),
             jnp.floor((mc.x_stop[2] - p.x[:, 2]) / dx2),
         ).astype(jnp.int32)
-        l_e = jnp.log(jnp.maximum(p.e, 1e-300))
+        l_e = jnp.log(jnp.maximum(p.e, 1e-30))
         i_e = (
             jnp.floor((l_e - consts.spectrum.L_E_0) / consts.spectrum.D_L_E + 2.5).astype(
                 jnp.int32

@@ -136,3 +136,20 @@ def test_step_size_positive_and_small():
 
     dl1 = consts.STEP_EPS * np.asarray(x[:, 1]) / (np.abs(np.asarray(k[:, 1])) + 1e-40)
     assert (dl <= dl1 + 1e-12).all()
+
+
+def test_closed_form_det_matches_numpy():
+    from grmonty_tpu.ops import linalg as gl
+
+    rng = np.random.default_rng(9)
+    for n in (2, 3, 4):
+        m = jnp.asarray(rng.normal(size=(16, n, n)))
+        np.testing.assert_allclose(
+            np.asarray(gl.det(m)), np.linalg.det(np.asarray(m)), rtol=1e-10
+        )
+    # on the actual metric
+    x = _sample_points(16)
+    g = geometry.gcov(x, A, H_SLOPE, R_0)
+    np.testing.assert_allclose(
+        np.asarray(gl.det(g)), np.linalg.det(np.asarray(g)), rtol=1e-10
+    )

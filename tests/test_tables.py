@@ -113,13 +113,14 @@ class TestJnu:
 
 class TestRadiation:
     def test_b_nu_inv_is_planck(self):
-        # b_nu_inv = B_nu / nu^2 with T = theta_e m_e c^2 / k
+        # b_nu_inv = B_nu / nu^3 with T = theta_e m_e c^2 / k
+        # (the reference's frequency-invariant form, radiation.cpp:121-129)
         nu, theta_e = 1e12, 5.0
         got = float(radiation.b_nu_inv(jnp.array(nu), jnp.array(theta_e)))
         T = theta_e * consts.ME * consts.CL**2 / consts.KBOL
         x = consts.HPL * nu / (consts.KBOL * T)
         b_nu = 2 * consts.HPL * nu**3 / consts.CL**2 / math.expm1(x)
-        assert got == pytest.approx(b_nu / nu**2, rel=1e-10)
+        assert got == pytest.approx(b_nu / nu**3, rel=1e-10)
 
     def test_b_nu_inv_series_continuity(self):
         theta_e = 10.0
