@@ -56,10 +56,11 @@ def torus_primitives(n1=256, n2=256):
     )
     rho = np.where(r < 2.2, 0.0, rho) + 1.0e-7  # atmosphere floor
 
-    # Internal energy: u/rho ~ 0.045 in the core gives theta_e ~ 10 with the
-    # two-temperature theta_e_unit ~ 224 — a hot RIAF, comparable to the
-    # dump019 regimes rather than a pathological fireball.
-    u = rho * 0.045 * np.exp(-0.5 * (np.log(np.maximum(w, 1e-10) / r_peak) / (2 * sig_r)) ** 2)
+    # Internal energy: u/rho ~ 0.02 in the core gives theta_e ~ 4.5 with the
+    # two-temperature theta_e_unit ~ 224 — a hot RIAF with moderate
+    # Comptonization, comparable to the dump019 regimes rather than a
+    # pathological fireball (the scattering bias scales ~ theta_e^2).
+    u = rho * 0.02 * np.exp(-0.5 * (np.log(np.maximum(w, 1e-10) / r_peak) / (2 * sig_r)) ** 2)
     u = np.maximum(u, 1.0e-9)
 
     # Velocity primitives (HARM relative 4-velocity): near-Keplerian phi

@@ -90,12 +90,16 @@ def get_fluid_zone(prims, g_cov, g_con, mc):
     return FluidState(n_e, theta_e, b_mag, u_con, u_cov, b_con, b_cov)
 
 
-def get_fluid_params(x, g_cov, prims, mc):
+def get_fluid_params(x, g_cov, prims, mc, prims_rows=None):
     """Bilinearly interpolated fluid state at arbitrary x (harm_model.cpp:595-671).
 
     ``x``: (..., 4); ``g_cov``: (..., 4, 4) evaluated at x by the caller.
     Outside the grid the electron density is zeroed (sentinel), matching the
     reference's early return.
+
+    ``prims_rows`` (optional): the primitives pre-transposed to
+    (n1*n2, 8) so each bilinear corner is one contiguous row gather —
+    substantially faster than 32 scalar gathers on TPU.
     """
     inside = (
         (x[..., 1] >= mc.x_start[1])
@@ -106,11 +110,18 @@ def get_fluid_params(x, g_cov, prims, mc):
 
     i, j, del_i, del_j = geometry.x_to_ij(x, mc.x_start, mc.dx, (mc.n1, mc.n2))
 
-    # Bilinear gather of all 8 primitives at once: (8, ...) per corner.
-    p00 = prims[:, i, j]
-    p01 = prims[:, i, j + 1]
-    p10 = prims[:, i + 1, j]
-    p11 = prims[:, i + 1, j + 1]
+    if prims_rows is not None:
+        base = i * mc.n2 + j
+        p00 = jnp.moveaxis(prims_rows[base], -1, 0)
+        p01 = jnp.moveaxis(prims_rows[base + 1], -1, 0)
+        p10 = jnp.moveaxis(prims_rows[base + mc.n2], -1, 0)
+        p11 = jnp.moveaxis(prims_rows[base + mc.n2 + 1], -1, 0)
+    else:
+        # Bilinear gather of all 8 primitives at once: (8, ...) per corner.
+        p00 = prims[:, i, j]
+        p01 = prims[:, i, j + 1]
+        p10 = prims[:, i + 1, j]
+        p11 = prims[:, i + 1, j + 1]
     c00 = (1.0 - del_i) * (1.0 - del_j)
     c01 = (1.0 - del_i) * del_j
     c10 = del_i * (1.0 - del_j)

@@ -78,6 +78,8 @@ class ShardedSimulation(driver_mod.Simulation):
         )
 
         def _run_shard(state, backlog):
+            # each call gets a fresh backlog: restart its consumption cursor
+            state = state._replace(backlog_pos=jnp.zeros((), jnp.int32))
             return run(state, backlog)
 
         self._run_jit = jax.jit(

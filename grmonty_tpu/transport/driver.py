@@ -315,6 +315,7 @@ class Simulation:
                 waves.append((cs, min(chunk, end - cs)))
         for c, (start, limit) in enumerate(waves):
             backlog = self.emit(plan, start, chunk, limit=limit)
+            state = state._replace(backlog_pos=jnp.zeros((), jnp.int32))
             state = self._run_wave(state, backlog, t0, c, len(waves), plan.total,
                                    start=start)
 

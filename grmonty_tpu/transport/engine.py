@@ -187,13 +187,15 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
     # engine doesn't silently promote every op to f64.
     tables = Tables(*(jnp.asarray(t, dt) for t in tables))
     prims = jnp.asarray(prims, dt)
+    # Row-major (n1*n2, 8) layout: each bilinear corner is one row gather.
+    prims_rows = jnp.asarray(prims.reshape(8, -1).T)
 
     # ------------------------------------------------------------------
     # physics helpers
     # ------------------------------------------------------------------
     def eval_fluid(x):
         g_cov = geometry.gcov(x, a, hs, r0)
-        fs = fluid.get_fluid_params(x, g_cov, prims, mc)
+        fs = fluid.get_fluid_params(x, g_cov, prims, mc, prims_rows=prims_rows)
         return g_cov, fs
 
     def eval_alphas(k, fs):
@@ -227,6 +229,7 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
     # ------------------------------------------------------------------
     def push_batch(x, k, dkdlam, e_0_s, dl, active):
         n = x.shape[0]
+        cols = jnp.arange(8, dtype=jnp.int32)[None, :]  # stack column ids
         stack = jnp.zeros((n, 8), jnp.int32)
         sp = jnp.where(active, 1, 0).astype(jnp.int32)
 
@@ -241,7 +244,9 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
         def seg_body(s):
             x, k, dk, e0s, stack, sp, it = s
             act = sp > 0
-            depth = stack[jnp.arange(n), jnp.maximum(sp - 1, 0)]
+            # One-hot stack ops (no gathers/scatters: 8-wide masked math).
+            top = (cols == (sp - 1)[:, None])
+            depth = jnp.sum(jnp.where(top, stack, 0), axis=1, dtype=jnp.int32)
             seg_dl = dl * jnp.exp2(-depth.astype(dt))
 
             dl_2 = 0.5 * seg_dl
@@ -253,19 +258,17 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
 
             conn = geometry.connection(x_new, a, hs)
 
-            def fp_iter(carry, _):
-                k_pred, _ = carry
+            # Fixed-point iterations, unrolled (consts.MAX_ITER = 2).
+            err = jnp.zeros_like(e0s)
+            dk_new = dk
+            for _ in range(consts.MAX_ITER):
                 dk_new = geometry.geodesic_rhs(conn, k_pred)
                 k_next = k_half + dl_2[:, None] * dk_new
                 err = jnp.sum(
                     jnp.abs((k_pred - k_next) / (k_next + consts.EPS)), axis=-1
                 )
-                return (k_next, dk_new), err
-
-            (k_new, dk_new), errs = lax.scan(
-                fp_iter, (k_pred, jnp.zeros_like(dk)), None, length=consts.MAX_ITER
-            )
-            err = errs[-1]
+                k_pred = k_next
+            k_new = k_pred
 
             g00, g01, g03 = geometry.gcov_row0(x_new, a, hs, r0)
             e_1 = -(k_new[:, 0] * g00 + k_new[:, 1] * g01 + k_new[:, 3] * g03)
@@ -283,14 +286,11 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
             e0s = jnp.where(commit, e_1, e0s)
             sp_new = jnp.where(commit, sp - 1, sp)
 
-            # fail: replace top with two half segments (depth + 1)
-            rows = jnp.arange(n)
-            stack = stack.at[rows, jnp.maximum(sp - 1, 0)].set(
-                jnp.where(fail, depth + 1, stack[rows, jnp.maximum(sp - 1, 0)])
-            )
-            stack = stack.at[rows, jnp.minimum(sp, 7)].set(
-                jnp.where(fail, depth + 1, stack[rows, jnp.minimum(sp, 7)])
-            )
+            # fail: replace the top with two half segments (depth + 1):
+            # write depth+1 at columns sp-1 and sp via one-hot select.
+            nxt = (cols == sp[:, None])
+            write = fail[:, None] & (top | nxt)
+            stack = jnp.where(write, (depth + 1)[:, None], stack)
             sp_new = jnp.where(fail, jnp.minimum(sp + 1, 8), sp_new)
 
             return x, k, dk, e0s, stack, sp_new, it + 1
