@@ -59,10 +59,11 @@ def main():
 
     cfg = engine.EngineConfig(
         n_pool=pool,
-        m_period=int(os.environ.get("BENCH_PERIOD", "8")),
+        m_period=int(os.environ.get("BENCH_PERIOD", "16")),
         sec_cap=4 * pool,
         stall_steps=stall,
         dtype=dtype,
+        fp_iters=int(os.environ.get("BENCH_FP_ITERS", "4")),
     )
     dump = find_dump()
     sim = driver.Simulation(

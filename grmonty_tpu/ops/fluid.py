@@ -152,22 +152,26 @@ def precompute_zone_geometry(mc, dtype=jnp.float64):
 
 
 def make_model_consts(model) -> ModelConsts:
-    """Build ModelConsts from a parsed models.harm.HARMModel."""
+    """Build ModelConsts from a parsed models.harm.HARMModel.
+
+    All scalars are plain python floats (weakly typed under JAX) so they
+    never promote a float32 engine to f64.
+    """
     h = model.header
     return ModelConsts(
-        a=h.a,
-        h_slope=h.h_slope,
-        r_0=h.r_0,
-        x_start=tuple(h.x_start),
-        x_stop=tuple(h.x_stop),
-        dx=tuple(h.dx),
-        n1=h.n[0],
-        n2=h.n[1],
-        n_e_unit=model.units.n_e_unit,
-        theta_e_unit=model.units.theta_e_unit,
-        b_unit=model.units.b_unit,
-        x1_min=model.x1_min,
-        bias_norm=model.bias_norm,
-        d_tau_k=model.d_tau_k,
-        max_tau_scatt0=model.max_tau_scatt_init,
+        a=float(h.a),
+        h_slope=float(h.h_slope),
+        r_0=float(h.r_0),
+        x_start=tuple(float(v) for v in h.x_start),
+        x_stop=tuple(float(v) for v in h.x_stop),
+        dx=tuple(float(v) for v in h.dx),
+        n1=int(h.n[0]),
+        n2=int(h.n[1]),
+        n_e_unit=float(model.units.n_e_unit),
+        theta_e_unit=float(model.units.theta_e_unit),
+        b_unit=float(model.units.b_unit),
+        x1_min=float(model.x1_min),
+        bias_norm=float(model.bias_norm),
+        d_tau_k=float(model.d_tau_k),
+        max_tau_scatt0=float(model.max_tau_scatt_init),
     )

@@ -59,6 +59,10 @@ class EngineConfig(typing.NamedTuple):
     tail_exit: int = 0  # exit the wave once backlog is drained and at most
     #   this many lanes remain occupied (they carry over to the next wave)
     stall_steps: int = consts.MAX_N_STEP  # per-photon step cap (reference value)
+    fp_iters: int = consts.MAX_ITER  # implicit-midpoint fixed-point iterations.
+    #   The reference uses 2 and repairs failures by recursive step halving;
+    #   in lockstep batches every halving costs a full-width round, so a
+    #   higher iteration count (cheaper convergence, fewer halvings) wins.
     dtype: typing.Any = jnp.float64
     # Global factor applied to photon weights on emission.  Raw grmonty
     # weights reach ~1e50; TPU float64 is float32-pair emulation whose
@@ -96,6 +100,9 @@ class Pool(typing.NamedTuple):
     bi: jnp.ndarray
     pend_dl: jnp.ndarray  # partial re-push length for a decided scatter
     sec_w: jnp.ndarray  # secondary weight frozen at decision time
+    dl_shrink: jnp.ndarray  # adaptive per-lane step-size factor (<= 1):
+    #   lanes that halve shrink their next steps so batch-max halving
+    #   rounds stay near 1 (pure lockstep-efficiency control)
     n_scatt: jnp.ndarray  # int32
     n_step: jnp.ndarray  # int32
     occupied: jnp.ndarray  # slot holds a photon (possibly awaiting record)
@@ -149,8 +156,9 @@ def empty_pool(n, dtype):
         x=z4(), k=z4(), dkdlam=z4(), w=z(), e=z(), l=z(), x1i=z(), x2i=z(),
         tau_abs=z(), tau_scatt=z(), n_e_0=z(), theta_e_0=z(), b_0=z(), e_0=z(),
         e_0_s=z(), alpha_scatti=z(), alpha_absi=z(), bi=z(), pend_dl=z(),
-        sec_w=z(), n_scatt=zi(), n_step=zi(), occupied=zb(), alive=zb(),
-        interacting=zb(), pend_push=zb(), at_event=zb(), record_pending=zb(),
+        sec_w=z(), dl_shrink=jnp.ones((n,), dtype), n_scatt=zi(), n_step=zi(),
+        occupied=zb(), alive=zb(), interacting=zb(), pend_push=zb(),
+        at_event=zb(), record_pending=zb(),
     )
 
 
@@ -237,12 +245,8 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
         frozen = x[:, 1] < mc.x_start[1]
         sp = jnp.where(frozen, 0, sp)
 
-        def seg_cond(s):
-            x, k, dk, e0s, stack, sp, it = s
-            return jnp.any(sp > 0) & (it < cfg.max_inner)
-
         def seg_body(s):
-            x, k, dk, e0s, stack, sp, it = s
+            x, k, dk, e0s, stack, sp, failed, it = s
             act = sp > 0
             # One-hot stack ops (no gathers/scatters: 8-wide masked math).
             top = (cols == (sp - 1)[:, None])
@@ -258,10 +262,10 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
 
             conn = geometry.connection(x_new, a, hs)
 
-            # Fixed-point iterations, unrolled (consts.MAX_ITER = 2).
+            # Fixed-point iterations, unrolled.
             err = jnp.zeros_like(e0s)
             dk_new = dk
-            for _ in range(consts.MAX_ITER):
+            for _ in range(cfg.fp_iters):
                 dk_new = geometry.geodesic_rhs(conn, k_pred)
                 k_next = k_half + dl_2[:, None] * dk_new
                 err = jnp.sum(
@@ -293,12 +297,17 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
             stack = jnp.where(write, (depth + 1)[:, None], stack)
             sp_new = jnp.where(fail, jnp.minimum(sp + 1, 8), sp_new)
 
-            return x, k, dk, e0s, stack, sp_new, it + 1
+            return x, k, dk, e0s, stack, sp_new, failed | fail, it + 1
 
-        x, k, dkdlam, e_0_s, _, _, _ = lax.while_loop(
-            seg_cond, seg_body, (x, k, dkdlam, e_0_s, stack, sp, jnp.int32(0))
+        def seg_cond2(s):
+            return jnp.any(s[5] > 0) & (s[7] < cfg.max_inner)
+
+        x, k, dkdlam, e_0_s, _, _, failed, _ = lax.while_loop(
+            seg_cond2,
+            seg_body,
+            (x, k, dkdlam, e_0_s, stack, sp, jnp.zeros_like(active), jnp.int32(0)),
         )
-        return x, k, dkdlam, e_0_s
+        return x, k, dkdlam, e_0_s, failed
 
     # ------------------------------------------------------------------
     # stop / record criteria (harm_model.cpp:1589-1618)
@@ -346,14 +355,30 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
         x2_, k2_, dk2_, e0s2_ = p.x, p.k, p.dkdlam, p.e_0_s
 
         dl = jnp.where(
-            p.pend_push, p.pend_dl, geometry.step_size(p.x, p.k, x2_stop)
+            p.pend_push,
+            p.pend_dl,
+            geometry.step_size(p.x, p.k, x2_stop) * p.dl_shrink,
         )
-        xn, kn, dkn, e0sn = push_batch(p.x, p.k, p.dkdlam, p.e_0_s, dl, moving)
+        xn, kn, dkn, e0sn, had_fail = push_batch(
+            p.x, p.k, p.dkdlam, p.e_0_s, dl, moving
+        )
+        # Adaptive step control (lockstep efficiency): lanes that needed
+        # halving take smaller steps next time; clean lanes relax back.
+        shrink = jnp.where(
+            moving & ~p.pend_push,
+            jnp.where(
+                had_fail,
+                jnp.maximum(p.dl_shrink * 0.25, 2.0 ** -7),
+                jnp.minimum(p.dl_shrink * 1.1892, 1.0),
+            ),
+            p.dl_shrink,
+        )
         p = p._replace(
             x=jnp.where(moving[:, None], xn, p.x),
             k=jnp.where(moving[:, None], kn, p.k),
             dkdlam=jnp.where(moving[:, None], dkn, p.dkdlam),
             e_0_s=jnp.where(moving, e0sn, p.e_0_s),
+            dl_shrink=shrink,
         )
 
         # Lanes completing their partial re-push are now at the event point.
@@ -622,6 +647,7 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
             n_step=jnp.where(load, 0, p.n_step),
             pend_dl=jnp.where(load, zero, p.pend_dl),
             sec_w=jnp.where(load, zero, p.sec_w),
+            dl_shrink=jnp.where(load, jnp.ones_like(p.dl_shrink), p.dl_shrink),
             occupied=p.occupied | ok,
             alive=p.alive | ok,
             pend_push=p.pend_push & ~load,

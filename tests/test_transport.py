@@ -69,7 +69,7 @@ def test_push_preserves_nullness_and_energy(sim):
     def step(carry):
         x, k, dk, e0s, active = carry
         dl = geometry.step_size(x, k, sim.mc.x_stop[2])
-        x, k, dk, e0s = push(x, k, dk, e0s, dl, active)
+        x, k, dk, e0s, _ = push(x, k, dk, e0s, dl, active)
         active = active & (x[:, 1] > sim.mc.x1_min) & (x[:, 1] < consts.X1_MAX)
         return x, k, dk, e0s, active
 
