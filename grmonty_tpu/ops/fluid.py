@@ -139,6 +139,114 @@ def get_fluid_params(x, g_cov, prims, mc, prims_rows=None):
     return FluidState(n_e, theta_e, b_mag, u_con, u_cov, b_con, b_cov)
 
 
+class FluidC(typing.NamedTuple):
+    """Component-form fluid state for the transport hot path (see the
+    geometry module docstring for the TPU layout rationale)."""
+
+    n_e: jnp.ndarray
+    theta_e: jnp.ndarray
+    b: jnp.ndarray  # field magnitude [gauss]
+    u_con: tuple  # 4x (N,)
+    u_cov: tuple
+    b_con: tuple  # code units
+    b_cov: tuple
+
+
+def make_corner_table(prims, n1, n2):
+    """Pack the bilinear stencil into one gather-friendly table.
+
+    TPU gathers cost ~9 ns per *index* regardless of row width, so the four
+    corner gathers of ``get_fluid_params`` are folded into one: row z of the
+    returned (n1*n2, 32) array holds the 8 primitives at zones z, z+1, z+n2,
+    z+n2+1 (the reference's p00/p01/p10/p11 corners, harm_model.cpp:617-641).
+    Out-of-range corners on the last row/column are never selected (the
+    bilinear cell index is clamped to n-2) but are padded validly anyway.
+    """
+    import numpy as np
+
+    p = np.asarray(prims).reshape(8, n1 * n2).T  # (Z, 8)
+    z = np.arange(n1 * n2)
+    c00 = p[z]
+    c01 = p[np.minimum(z + 1, n1 * n2 - 1)]
+    c10 = p[np.minimum(z + n2, n1 * n2 - 1)]
+    c11 = p[np.minimum(z + n2 + 1, n1 * n2 - 1)]
+    return np.concatenate([c00, c01, c10, c11], axis=1)  # (Z, 32)
+
+
+def _four_vectors_c(v1, v2, v3, b1, b2, b3, g7, gc6, mc):
+    """Component-form u^mu / b^mu reconstruction (harm_model.cpp:560-593)."""
+    g00, g01, g03, g11, g13, g22, g33 = g7
+    gc00, gc01, gc11, gc13, gc22, gc33 = gc6
+
+    v_dot_v = (
+        g11 * v1 * v1 + g22 * v2 * v2 + g33 * v3 * v3 + 2.0 * g13 * v1 * v3
+    )
+    v_fac = jnp.sqrt(-1.0 / gc00 * (1.0 + jnp.abs(v_dot_v)))
+
+    u0 = -v_fac * gc00
+    u1 = v1 - v_fac * gc01
+    u2 = v2
+    u3 = v3  # gcon row 0 has only (00, 01) nonzero
+    u_con = (u0, u1, u2, u3)
+    u_cov = geometry.lower_c(g7, u_con)
+
+    u_dot_bp = u_cov[1] * b1 + u_cov[2] * b2 + u_cov[3] * b3
+    bc0 = u_dot_bp
+    bc1 = (b1 + u1 * u_dot_bp) / u0
+    bc2 = (b2 + u2 * u_dot_bp) / u0
+    bc3 = (b3 + u3 * u_dot_bp) / u0
+    b_con = (bc0, bc1, bc2, bc3)
+    b_cov = geometry.lower_c(g7, b_con)
+
+    bsq = bc0 * b_cov[0] + bc1 * b_cov[1] + bc2 * b_cov[2] + bc3 * b_cov[3]
+    b_mag = jnp.sqrt(jnp.abs(bsq)) * mc.b_unit
+    return u_con, u_cov, b_con, b_cov, b_mag
+
+
+def get_fluid_params_c(x1, x2, corner_rows, mc, g7=None, gc6=None):
+    """Bilinear fluid state at (x1, x2) via ONE wide-row gather.
+
+    Hot-path equivalent of :func:`get_fluid_params` (harm_model.cpp:595-671):
+    the 4 corner gathers collapse into one gather of the packed
+    ``corner_rows`` (see :func:`make_corner_table`); everything else is
+    component math.  ``g7``/``gc6``: optional precomputed metric component
+    tuples at (x1, x2) — computed here if omitted.
+    """
+    inside = (
+        (x1 >= mc.x_start[1])
+        & (x1 <= mc.x_stop[1])
+        & (x2 >= mc.x_start[2])
+        & (x2 <= mc.x_stop[2])
+    )
+    i, j, del_i, del_j = geometry.x_to_ij_c(x1, x2, mc.x_start, mc.dx, (mc.n1, mc.n2))
+    z = i * mc.n2 + j
+    rows = corner_rows[z]  # (N, 32) — the single hot-loop gather
+
+    c00 = ((1.0 - del_i) * (1.0 - del_j))[:, None]
+    c01 = ((1.0 - del_i) * del_j)[:, None]
+    c10 = (del_i * (1.0 - del_j))[:, None]
+    c11 = (del_i * del_j)[:, None]
+    p = (
+        rows[:, 0:8] * c00
+        + rows[:, 8:16] * c01
+        + rows[:, 16:24] * c10
+        + rows[:, 24:32] * c11
+    ).T  # (8, N): components back into the sublane dim
+
+    rho, uu = p[0], p[1]
+    n_e = jnp.where(inside, rho * mc.n_e_unit, 0.0)
+    theta_e = uu / rho * mc.theta_e_unit
+
+    if g7 is None:
+        g7 = geometry.gcov_c(x1, x2, mc.a, mc.h_slope, mc.r_0)
+    if gc6 is None:
+        gc6 = geometry.gcon_c(x1, x2, mc.a, mc.h_slope, mc.r_0)
+    u_con, u_cov, b_con, b_cov, b_mag = _four_vectors_c(
+        p[2], p[3], p[4], p[5], p[6], p[7], g7, gc6, mc
+    )
+    return FluidC(n_e, theta_e, b_mag, u_con, u_cov, b_con, b_cov)
+
+
 def precompute_zone_geometry(mc, dtype=jnp.float64):
     """gcov/gcon/sqrt|det g| at every zone center (harm_model.cpp:242-266)."""
     ii, jj = jnp.meshgrid(

@@ -92,12 +92,23 @@ def f_eval(theta_e, b_mag, nu, f_table):
     return jnp.where(k > consts.jnu.MAX_K, 0.0, out)
 
 
+def synch_c(nu, n_e, theta_e, b, theta, k2_coeffs):
+    """:func:`synch` with the Chebyshev K2 surrogate (transport hot path)."""
+    from grmonty_tpu.ops import cheb
+
+    return _synch_from_k2(nu, n_e, theta_e, b, theta,
+                          cheb.k2_eval(theta_e, k2_coeffs))
+
+
 def synch(nu, n_e, theta_e, b, theta, k2_table):
     """Angle-dependent thermal synchrotron emissivity j_nu (jnu_mixed.cpp:75-100).
 
     Zero below THETA_E_MIN and beyond nu > 1e12 nu_s (exponential cutoff).
     """
-    k2 = k2_eval(theta_e, k2_table)
+    return _synch_from_k2(nu, n_e, theta_e, b, theta, k2_eval(theta_e, k2_table))
+
+
+def _synch_from_k2(nu, n_e, theta_e, b, theta, k2):
     nu_c = consts.EE * b / (2.0 * PI * consts.ME * consts.CL)
     sin_th = jnp.sin(theta)
     nu_s = (2.0 / 9.0) * nu_c * theta_e * theta_e * sin_th

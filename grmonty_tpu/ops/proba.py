@@ -180,6 +180,76 @@ def sample_electron_distr_p(key, k, theta_e):
     return jnp.concatenate([gamma_e[..., None], p_spatial], axis=-1)
 
 
+def sample_electron_distr_p_c(key, k, theta_e):
+    """Component-form :func:`sample_electron_distr_p` for the hot path.
+
+    ``k``: 4-tuple of (N,) tetrad-frame wave-vector components.
+    Returns the electron 4-momentum as a 4-tuple.
+    """
+    shape = theta_e.shape
+    dtype = theta_e.dtype
+    k0c, k1c, k2c, k3c = k
+
+    def body(state):
+        key, th_e, gamma, beta, mu, accepted, it = state
+        key, k1, k2, k3 = random.split(key, 4)
+        g_new, b_new = sample_beta_distr(k1, th_e)
+        mu_new = jnp.clip(sample_mu_distr(k2, b_new), -1.0, 1.0)
+
+        k_eff = g_new * (1.0 - b_new * mu_new) * k0c
+        sigma_kn = _sigma_kn_total(k_eff)
+        accept = random.uniform(k3, shape, dtype) < sigma_kn
+
+        take = accept & ~accepted
+        gamma = jnp.where(take, g_new, gamma)
+        beta = jnp.where(take, b_new, beta)
+        mu = jnp.where(take, mu_new, mu)
+        stall = ((it + 1) % _STALL_ITERS == 0) & ~(accepted | accept)
+        th_e = jnp.where(stall, th_e * 0.5, th_e)
+        return key, th_e, gamma, beta, mu, accepted | accept, it + 1
+
+    def cond(state):
+        *_, accepted, it = state
+        return (~jnp.all(accepted)) & (it < _MAX_REJECT_ITERS)
+
+    init = (
+        key, theta_e,
+        jnp.ones(shape, dtype), jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+        jnp.zeros(shape, bool), 0,
+    )
+    key, _, gamma_e, beta_e, mu, _, _ = lax.while_loop(cond, body, init)
+
+    key, kd, kp = random.split(key, 3)
+    c_th, s_th = mu, jnp.sqrt(1.0 - mu * mu)
+    phi = random.uniform(kp, shape, dtype) * 2.0 * PI
+    dx, dy, dz = _dir_about_axis_c((k1c, k2c, k3c), kd, c_th, s_th, phi, shape, dtype)
+    gb = gamma_e * beta_e
+    return (gamma_e, gb * dx, gb * dy, gb * dz)
+
+
+def _dir_about_axis_c(axis, key_dir, c_th, s_th, phi, shape, dtype):
+    """Unit vector at polar angle (c_th, s_th, phi) about ``axis`` (3-tuple),
+    with a random azimuthal frame (proba.cpp:67-107, component form)."""
+    ax, ay, az = axis
+    inv = 1.0 / jnp.sqrt(ax * ax + ay * ay + az * az + 1e-300)
+    v0x, v0y, v0z = ax * inv, ay * inv, az * inv
+
+    n0x, n0y, n0z = sample_rand_dir(key_dir, shape, dtype)
+    ndv = n0x * v0x + n0y * v0y + n0z * v0z
+    v1x, v1y, v1z = n0x - ndv * v0x, n0y - ndv * v0y, n0z - ndv * v0z
+    inv1 = 1.0 / jnp.sqrt(v1x * v1x + v1y * v1y + v1z * v1z + 1e-300)
+    v1x, v1y, v1z = v1x * inv1, v1y * inv1, v1z * inv1
+    v2x = v0y * v1z - v0z * v1y
+    v2y = v0z * v1x - v0x * v1z
+    v2z = v0x * v1y - v0y * v1x
+
+    cp, sp = jnp.cos(phi), jnp.sin(phi)
+    dx = c_th * v0x + s_th * (cp * v1x + sp * v2x)
+    dy = c_th * v0y + s_th * (cp * v1y + sp * v2y)
+    dz = c_th * v0z + s_th * (cp * v1z + sp * v2z)
+    return dx, dy, dz
+
+
 def klein_nishina(a, ap):
     """KN differential cross-section kernel (proba.cpp:212-215)."""
     ch = 1.0 + 1.0 / a - 1.0 / ap

@@ -72,3 +72,33 @@ def alpha_inv_abs(nu, theta_e, n_e, b, theta, k2_table):
     """
     j = jnu.synch(nu, n_e, theta_e, b, theta, k2_table)
     return nu * j / (b_nu(nu, theta_e) + consts.EPS)
+
+
+# ---------------------------------------------------------------------------
+# component layer (transport hot path; see geometry module docstring)
+# ---------------------------------------------------------------------------
+
+def kinematics_c(k, u_cov, b_cov, b, b_unit):
+    """Shared photon-fluid kinematics: (bk_angle, fluid_nu) from component
+    tuples, computing k.u_cov once (radiation.cpp:59-101)."""
+    k_u = k[0] * u_cov[0] + k[1] * u_cov[1] + k[2] * u_cov[2] + k[3] * u_cov[3]
+    k_b = k[0] * b_cov[0] + k[1] * b_cov[1] + k[2] * b_cov[2] + k[3] * b_cov[3]
+    mu = k_b / (jnp.abs(k_u) * b / b_unit + consts.EPS)
+    theta = jnp.where(b == 0.0, PI / 2.0, jnp.arccos(jnp.clip(mu, -1.0, 1.0)))
+    nu = -k_u * consts.ME * consts.CL * consts.CL / consts.HPL
+    return theta, nu
+
+
+def alpha_inv_scatt_c(nu, theta_e, n_e, hc_coeffs):
+    """Invariant scattering opacity with the Chebyshev hotcross surrogate."""
+    from grmonty_tpu.ops import cheb
+
+    e_g = consts.HPL * nu / (consts.ME * consts.CL * consts.CL)
+    sigma = cheb.hotcross_eval(e_g, theta_e, hc_coeffs)
+    return nu * sigma * n_e
+
+
+def alpha_inv_abs_c(nu, theta_e, n_e, b, theta, k2_coeffs):
+    """Invariant absorption opacity with the Chebyshev K2 surrogate."""
+    j = jnu.synch_c(nu, n_e, theta_e, b, theta, k2_coeffs)
+    return nu * j / (b_nu(nu, theta_e) + consts.EPS)

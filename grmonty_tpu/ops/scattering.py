@@ -75,6 +75,107 @@ def sample_scattered_photon(key, k_tet, p):
     return tetrads.boost(kpe, p_rev)
 
 
+# ---------------------------------------------------------------------------
+# component layer (transport hot path; see geometry module docstring)
+# ---------------------------------------------------------------------------
+
+class ScatterResultC(typing.NamedTuple):
+    parent_die: jnp.ndarray  # (N,) bool
+    made: jnp.ndarray  # (N,) bool
+    k_sec: tuple  # 4x (N,) coordinate-frame secondary wave vector
+    e_sec: jnp.ndarray
+    l_sec: jnp.ndarray
+
+
+def sample_scattered_photon_c(key, k_tet, p):
+    """Component-form :func:`sample_scattered_photon`; ``k_tet``/``p``
+    are 4-tuples of (N,) arrays."""
+    shape = k_tet[0].shape
+    dtype = k_tet[0].dtype
+
+    ke = tetrads.boost_c(k_tet, p)
+    ke0 = ke[0]
+
+    key, k_kn, k_th, k_dir, k_phi = random.split(key, 5)
+    k0_safe = jnp.maximum(ke0, 1.0e-4)
+    k0p_kn = proba.sample_klein_nishina(k_kn, k0_safe)
+    c_th_kn = 1.0 - 1.0 / k0p_kn + 1.0 / k0_safe
+    c_th_t = proba.sample_thomson(k_th, shape, dtype)
+
+    hot = ke0 > 1.0e-4
+    k0p = jnp.where(hot, k0p_kn, ke0)
+    c_th = jnp.where(hot, c_th_kn, c_th_t)
+    s_th = jnp.sqrt(jnp.abs(1.0 - c_th * c_th))
+
+    phi = 2.0 * PI * random.uniform(k_phi, shape, dtype)
+    dx, dy, dz = proba._dir_about_axis_c(
+        (ke[1], ke[2], ke[3]), k_dir, c_th, s_th, phi, shape, dtype
+    )
+    kpe = (k0p, k0p * dx, k0p * dy, k0p * dz)
+
+    p_rev = (p[0], -p[1], -p[2], -p[3])
+    return tetrads.boost_c(kpe, p_rev)
+
+
+def scatter_event_c(key, k_coord, fl, g7, b_unit) -> ScatterResultC:
+    """Component-form :func:`scatter_event` (harm_model.cpp:1071-1145).
+
+    ``k_coord``: 4-tuple of (N,) wave-vector components; ``fl``: FluidC at
+    the event; ``g7``: covariant metric component tuple.
+    """
+    k0 = k_coord[0]
+    parent_die = (
+        (k0 > 1.0e5)
+        | (k0 < 0.0)
+        | jnp.isnan(k0)
+        | jnp.isnan(k_coord[1])
+        | jnp.isnan(k_coord[3])
+    )
+
+    # Field-direction trial vector; x1 axis when unmagnetized (:1083-1094).
+    b_code = fl.b / b_unit
+    mag = fl.b > 0.0
+    inv_b = 1.0 / jnp.maximum(b_code, 1e-30)
+    zero = jnp.zeros_like(fl.b)
+    b_hat = (
+        jnp.where(mag, fl.b_con[0] * inv_b, zero),
+        jnp.where(mag, fl.b_con[1] * inv_b, jnp.ones_like(fl.b)),
+        jnp.where(mag, fl.b_con[2] * inv_b, zero),
+        jnp.where(mag, fl.b_con[3] * inv_b, zero),
+    )
+
+    e_con, e_cov = tetrads.make_tetrad_c(fl.u_con, b_hat, g7)
+    k_tet = tetrads.coordinate_to_tetrad_c(e_cov, k_coord)
+
+    kt0 = k_tet[0]
+    invalid_frame = (kt0 > 1.0e5) | (kt0 < 0.0) | jnp.isnan(k_tet[1])
+
+    key, k_el, k_sc = random.split(key, 3)
+    guard = invalid_frame | parent_die
+    k_tet_safe = (
+        jnp.where(guard, 1.0e-6, k_tet[0]),
+        jnp.where(guard, 1.0e-6, k_tet[1]),
+        jnp.where(guard, 0.0, k_tet[2]),
+        jnp.where(guard, 0.0, k_tet[3]),
+    )
+    theta_safe = jnp.maximum(fl.theta_e, 1e-4)
+    p_el = proba.sample_electron_distr_p_c(k_el, k_tet_safe, theta_safe)
+    k_tet_p = sample_scattered_photon_c(k_sc, k_tet_safe, p_el)
+
+    k_sec = tetrads.tetrad_to_coordinate_c(e_con, k_tet_p)
+    sec_w_zero = jnp.isnan(k_sec[1])
+
+    # Conserved quantities from the dual basis with the time sign flipped
+    # (harm_model.cpp:1123-1129).
+    k_tet_flip = (-k_tet_p[0], k_tet_p[1], k_tet_p[2], k_tet_p[3])
+    tmp = tetrads.tetrad_to_coordinate_c(e_cov, k_tet_flip)
+    e_sec = -tmp[0]
+    l_sec = tmp[3]
+
+    made = ~(parent_die | invalid_frame | sec_w_zero)
+    return ScatterResultC(parent_die, made, k_sec, e_sec, l_sec)
+
+
 def scatter_event(key, k_coord, fluid, g_cov, b_unit) -> ScatterResult:
     """Full scattering event for a batch of photons (harm_model.cpp:1071-1145).
 

@@ -6,6 +6,13 @@ Equivalent of the reference's ``harm::HARMModel`` 5-phase pipeline
 report_spectrum) re-drawn for JAX: all init products are device arrays, the
 emission producer/worker machinery is a vectorized sampler, and the
 simulation loop is a sequence of jitted engine waves over photon backlogs.
+
+Fault tolerance (absent in the reference, whose runs are minutes; required
+here because the tunneled TPU runtime can fault mid-run): the engine's
+spectrum accumulator is drained to a host float64 accumulator every dispatch
+slice, the full engine state is snapshotted to host every
+``snapshot_every`` slices, and a ``JaxRuntimeError`` rolls back to the last
+snapshot and retries instead of losing the run.
 """
 
 from __future__ import annotations
@@ -51,13 +58,17 @@ class Simulation:
         config: engine_mod.EngineConfig | None = None,
         emit_chunk: int = 1 << 20,
         wave_tail_exit: int | None = None,
-        slice_iters: int = 512,  # per-dispatch iteration budget: long-running
-        # while_loops (>~10 s) trip the tunneled TPU runtime's watchdog
+        slice_iters: int = 4096,  # per-dispatch hot-iteration budget: long
+        # dispatches (>~10 s) trip the tunneled TPU runtime's watchdog
         warmup: int = 1024,
+        snapshot_every: int = 4,  # slices between host-side state snapshots
+        max_retries: int = 3,  # device-fault retries per wave
     ):
         self.photon_n = photon_n
         self.emit_chunk = emit_chunk
         self.warmup = warmup
+        self.snapshot_every = snapshot_every
+        self.max_retries = max_retries
         self.cfg = config or engine_mod.EngineConfig()
         dt = self.cfg.dtype
 
@@ -125,7 +136,8 @@ class Simulation:
             wave_tail_exit = max(1, self.cfg.n_pool // 16)
         self._wave_tail_exit = wave_tail_exit
         # Each engine call runs at most slice_iters hot iterations so the
-        # host can log progress between slices (1 Hz-style telemetry).
+        # host can checkpoint the spectrum and log progress between slices.
+        self._slice_iters = slice_iters
         wave_cfg = self.cfg._replace(
             tail_exit=wave_tail_exit,
             max_outer=min(self.cfg.max_outer, slice_iters),
@@ -137,6 +149,8 @@ class Simulation:
             max_outer=min(self.cfg.max_outer, 16 * slice_iters),
         )
         self._tail = None  # built lazily on first drain
+        # Host-side float64 spectrum accumulator, drained per slice.
+        self.spec_acc = np.zeros((engine_mod.N_BINS + 1, engine_mod.N_SPEC_CHAN))
         # Sampler runs on CPU (f64) regardless of the engine dtype; inputs
         # are committed to the CPU device so jit compiles there.
         self._sample_jit = jax.jit(
@@ -159,11 +173,11 @@ class Simulation:
                  plan.total, int((counts > 0).sum()))
         return plan
 
-    def emit(self, plan: emission.EmissionPlan, start: int, count: int,
-             limit: int | None = None):
+    def _sample(self, plan, start, count, limit=None):
         """Sample a [start, start+min(count, limit)) slice of the plan into an
         InitPhotons batch of shape ``count`` (padded with zero-weight photons
-        that the engine drops on load; fixed shape = one engine compile)."""
+        that the engine drops on load; fixed shape = one engine compile).
+        Returns host numpy arrays with weights pre-scaled by weight_scale."""
         stop = start + (count if limit is None else min(count, limit))
         zi = plan.zone_i[start:stop]
         zj = plan.zone_j[start:stop]
@@ -172,37 +186,77 @@ class Simulation:
             zi = np.concatenate([zi, np.zeros(pad, np.int32)])
             zj = np.concatenate([zj, np.zeros(pad, np.int32)])
         self.key, k = random.split(self.key)
-        batch = self._sample_jit(
+        batch = jax.device_get(self._sample_jit(
             jax.device_put(np.asarray(k), self._cpu_dev),
             jax.device_put(zi, self._cpu_dev),
             jax.device_put(zj, self._cpu_dev),
-        )
+        ))
         w = np.asarray(batch.w) * self.cfg.weight_scale
         if pad:
-            w[count - pad :] = 0.0
-        # Ship to the accelerator in the engine dtype (weights pre-scaled by
-        # cfg.weight_scale so float32 engines stay in range).
+            w[count - pad:] = 0.0
+        return batch._replace(w=w)
+
+    def emit(self, plan, start, count, limit=None):
+        """InitPhotons batch on the accelerator (engine dtype) — test/oracle
+        interface; the run loop ships packed rows via :meth:`emit_packed`."""
+        batch = self._sample(plan, start, count, limit)
         dt = self.cfg.dtype
         cast = lambda a: jax.device_put(np.asarray(a, dtype=dt))
         return emission.InitPhotons(
-            x=cast(batch.x), k=cast(batch.k), w=jax.device_put(np.asarray(w, dt)),
+            x=cast(batch.x), k=cast(batch.k), w=cast(batch.w),
             e=cast(batch.e), l=cast(batch.l), n_e_0=cast(batch.n_e_0),
             theta_e_0=cast(batch.theta_e_0), b_0=cast(batch.b_0),
             e_0=cast(batch.e_0),
             n_scatt=jax.device_put(np.asarray(batch.n_scatt, np.int32)),
         )
 
+    def emit_packed(self, plan, start, count, limit=None):
+        """Packed (count, 16) backlog rows on the accelerator."""
+        batch = self._sample(plan, start, count, limit)
+        return jax.device_put(engine_mod.pack_rows(batch, self.cfg.dtype))
+
     # ------------------------------------------------------------------
+    def _drain_spec(self, state):
+        """Move the device spectrum accumulator into the host f64 one."""
+        self.spec_acc += np.asarray(jax.device_get(state.spec), np.float64)
+        return state._replace(spec=jnp.zeros_like(state.spec))
+
+    def _snapshot(self, state):
+        return jax.device_get(state), self.spec_acc.copy()
+
+    def _restore(self, snap):
+        state_host, spec_acc = snap
+        self.spec_acc = spec_acc.copy()
+        return jax.device_put(state_host)
+
     def _run_wave(self, state, backlog, t0, c, n_chunks, total, start=0):
         """Run one backlog wave in bounded slices with rate telemetry
-        (the reference's 1 Hz photon-rate logging, harm_model.cpp:397-403)."""
+        (the reference's 1 Hz photon-rate logging, harm_model.cpp:397-403),
+        per-slice spectrum draining, and fault-retry from snapshots."""
+        snap = self._snapshot(state)
+        retries = 0
+        s = 0
         while True:
-            state = self._run_jit(state, backlog)
-            state.spec.block_until_ready()
-            counters = jax.device_get(state.counters)
-            occupied = int(jax.device_get(state.pool.occupied.sum()))
-            pos = int(state.backlog_pos)
-            sec = int(state.sec.count)
+            try:
+                state = self._run_jit(state, backlog)
+                state.spec.block_until_ready()
+                state = self._drain_spec(state)
+                counters = jax.device_get(state.counters)
+                occupied = int(jax.device_get(state.pool.occupied.sum()))
+                pos = int(state.backlog_pos)
+                sec = int(state.sec.count)
+            except jax.errors.JaxRuntimeError as err:
+                retries += 1
+                log.warning("TPU fault on wave %d slice %d (retry %d/%d): %s",
+                            c + 1, s, retries, self.max_retries, err)
+                if retries > self.max_retries:
+                    raise
+                jax.clear_caches()
+                state = self._restore(snap)
+                continue
+            s += 1
+            if s % self.snapshot_every == 0:
+                snap = self._snapshot(state)
             elapsed = time.time() - t0
             done = min(start + pos, total)
             log.info(
@@ -213,7 +267,7 @@ class Simulation:
                 done / max(elapsed, 1e-9),
             )
             finished = (
-                pos >= backlog.x.shape[0]
+                pos >= backlog.shape[0]
                 and sec == 0
                 and occupied <= self._wave_tail_exit
             )
@@ -234,12 +288,8 @@ class Simulation:
                 self.mc, self.tables, self.prims, self.tail_cfg
             )
             self._tail_run = jax.jit(self._tail["run"])
-            dummy = jax.device_get(self._sample_jit(
-                random.PRNGKey(0), jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32)
-            ))
-            self._tail_backlog = jax.tree.map(
-                lambda a: jnp.asarray(np.zeros_like(a)), dummy
-            )  # single zero-weight photon: dropped on load
+            # single zero-weight photon: dropped on load
+            self._tail_backlog = jnp.zeros((1, engine_mod.ROW_WIDTH), self.cfg.dtype)
 
         n_t = self.tail_cfg.n_pool
         while True:
@@ -255,7 +305,7 @@ class Simulation:
             gi = jnp.asarray(gather)
             vm = jnp.asarray(valid)
 
-            small = jax.tree.map(lambda a: a[gi], state.pool)
+            small = jax.tree.map(lambda a: a[..., gi], state.pool)
             small = small._replace(
                 occupied=small.occupied & vm,
                 alive=small.alive & vm,
@@ -314,13 +364,13 @@ class Simulation:
             for cs in range(s, end, chunk):
                 waves.append((cs, min(chunk, end - cs)))
         for c, (start, limit) in enumerate(waves):
-            backlog = self.emit(plan, start, chunk, limit=limit)
+            backlog = self.emit_packed(plan, start, chunk, limit=limit)
             state = state._replace(backlog_pos=jnp.zeros((), jnp.int32))
             state = self._run_wave(state, backlog, t0, c, len(waves), plan.total,
                                    start=start)
 
         state = self._drain_tail(state)
-        state.spec.block_until_ready()
+        state = self._drain_spec(state)
         elapsed = time.time() - t0
         counters = jax.device_get(state.counters)
         stats = {
@@ -335,13 +385,13 @@ class Simulation:
         log.info("Final rate %.2f ph/s", stats["photon_rate"])
         log.info("Super photons: created %d, recorded %d",
                  stats["n_created"], stats["n_recorded"])
-        spec = unscale_spectrum(np.asarray(state.spec), self.cfg.weight_scale)
-        state = state._replace(spec=jnp.asarray(spec))
+        spec = unscale_spectrum(self.spec_acc, self.cfg.weight_scale)
         self.state = state
+        self.spec = spec
         return spec, stats
 
     def report(self, spectrum_path: str, spec=None):
-        spec = self.state.spec if spec is None else spec
+        spec = self.spec if spec is None else spec
         rows = spectrum_ops.write_spectrum(spectrum_path, np.asarray(spec), self.mc)
         log.info("Spectrum written to %s", spectrum_path)
         log.info("\tluminosity: %g", rows["luminosity"])

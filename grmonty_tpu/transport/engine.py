@@ -4,23 +4,31 @@ TPU-native re-design of the reference's transport backends (CPU recursive
 tracker ``harm_model.cpp:894-1069`` and the CUDA persistent photon-pool
 pipeline ``super_photon.cu:505-1037``):
 
-* Photons are an SoA pool of (N,) arrays stepped in lockstep inside one
-  ``lax.while_loop``; boolean masks replace the CUDA ``PhotonState`` enum.
+* Photons are an SoA pool stepped in lockstep inside one ``lax.while_loop``;
+  boolean masks replace the CUDA ``PhotonState`` enum.
+* **Layout**: 4-vectors are stored (4, N) and all physics runs on separate
+  (N,) component arrays — on TPU the vector-lane dimension is the last axis,
+  so the (N, 4)/(N, 4, 10) layouts of a naive port waste >95% of the VPU.
+* **One gather per step**: TPU gathers cost ~9 ns per index (they dominated
+  round 1 at ~6-10 gathers/step).  The bilinear fluid stencil is packed into
+  128-byte rows gathered once per step (``fluid.make_corner_table``); the
+  hotcross/K2 table lookups are replaced by Chebyshev surrogates
+  (``ops/cheb.py``) that evaluate as pure FMA chains / small MXU matmuls.
 * Every iteration does one geodesic step (implicit midpoint with a bounded
   per-lane halving stack — the iterative shape of ``super_photon.cu:1826``)
   plus the trapezoid opacity/scatter-decision update for all live lanes.
 * Scattering is deferred: a lane that draws a scatter event rolls back to
-  its pre-step state, re-pushes by ``frac*dl`` on the next iteration, then
-  idles until the periodic phase (every ``m_period`` iterations) runs the
-  expensive event kinematics (tetrad + electron sampling + KN) for all
-  pending lanes at once, amortizing the full-width masked computation.
-  This mirrors the reference GPU driver's every-7th-iteration cadence for
-  refill + record (``super_photon.cu:656,923``).
-* Secondaries are packed into an on-device ring buffer via prefix sums
-  (replacing the GPU->host->queue feedback loop, ``super_photon.cu:858-958``)
-  and drained into free pool slots, with priority over the primary backlog.
+  its pre-step state, re-pushes by ``frac*dl``, then idles until the
+  periodic phase (every ``m_period`` iterations) runs the event kinematics
+  for all pending lanes at once.  This mirrors the reference GPU driver's
+  every-7th-iteration cadence for refill + record (``super_photon.cu:656``).
+* Secondaries and the emission backlog live in packed (., 16) row buffers
+  so refill costs two row gathers + one row scatter per periodic phase
+  (replacing the GPU->host->queue feedback loop, ``super_photon.cu:858-958``).
 * Escaped photons are recorded into the (6 x 200 x 13) spectrum with a
   masked scatter-add (replacing spectrum atomics, ``super_photon.cu:1586``).
+  The spectrum accumulator is engine-dtype; the driver drains it to a host
+  float64 accumulator every dispatch slice.
 * The bias-feedback scalars (max_tau_scatt, n_recorded, n_scatt) ride in
   the loop carry and refresh each periodic phase — the reference reads them
   racily mid-flight (``super_photon.cu:36-46,1649``), so the staleness is
@@ -36,10 +44,11 @@ import typing
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax, random
 
 from grmonty_tpu import consts
-from grmonty_tpu.ops import emission, fluid, geometry, hotcross, radiation, scattering
+from grmonty_tpu.ops import cheb, emission, fluid, geometry, radiation, scattering
 
 PI = math.pi
 
@@ -49,20 +58,24 @@ N_SPEC_CHAN = 13  # Spectrum struct channels (harm_data.hpp:129-143)
 N_BINS = consts.N_TH_BINS * consts.N_E_BINS
 DUMP_BIN = N_BINS  # overflow row for masked-out scatter-adds
 
+# Packed photon-row schema shared by the backlog and the secondary buffer
+# (the InitPhoton struct, photon.hpp:41-52, as one gatherable row).
+ROW_X = slice(0, 4)
+ROW_K = slice(4, 8)
+(ROW_W, ROW_E, ROW_L, ROW_NE0, ROW_THETAE0, ROW_B0, ROW_E0, ROW_NSCATT) = range(8, 16)
+ROW_WIDTH = 16
+
 
 class EngineConfig(typing.NamedTuple):
     n_pool: int = 16384  # concurrently tracked photons
-    m_period: int = 8  # iterations between periodic (refill/record/scatter) phases
+    m_period: int = 16  # iterations between periodic (refill/record/scatter) phases
     sec_cap: int = 65536  # secondary ring-buffer capacity
     max_inner: int = 256  # cap on push sub-segment rounds
     max_outer: int = 50_000_000  # hard safety cap on hot iterations per wave
     tail_exit: int = 0  # exit the wave once backlog is drained and at most
     #   this many lanes remain occupied (they carry over to the next wave)
     stall_steps: int = consts.MAX_N_STEP  # per-photon step cap (reference value)
-    fp_iters: int = consts.MAX_ITER  # implicit-midpoint fixed-point iterations.
-    #   The reference uses 2 and repairs failures by recursive step halving;
-    #   in lockstep batches every halving costs a full-width round, so a
-    #   higher iteration count (cheaper convergence, fewer halvings) wins.
+    fp_iters: int = consts.MAX_ITER  # implicit-midpoint fixed-point iterations
     dtype: typing.Any = jnp.float64
     # Global factor applied to photon weights on emission.  Raw grmonty
     # weights reach ~1e50; TPU float64 is float32-pair emulation whose
@@ -80,10 +93,10 @@ class Tables(typing.NamedTuple):
 
 
 class Pool(typing.NamedTuple):
-    x: jnp.ndarray  # (N, 4)
-    k: jnp.ndarray  # (N, 4)
-    dkdlam: jnp.ndarray  # (N, 4)
-    w: jnp.ndarray
+    x: jnp.ndarray  # (4, N)
+    k: jnp.ndarray  # (4, N)
+    dkdlam: jnp.ndarray  # (4, N)
+    w: jnp.ndarray  # all below: (N,)
     e: jnp.ndarray
     l: jnp.ndarray
     x1i: jnp.ndarray
@@ -100,9 +113,6 @@ class Pool(typing.NamedTuple):
     bi: jnp.ndarray
     pend_dl: jnp.ndarray  # partial re-push length for a decided scatter
     sec_w: jnp.ndarray  # secondary weight frozen at decision time
-    dl_shrink: jnp.ndarray  # adaptive per-lane step-size factor (<= 1):
-    #   lanes that halve shrink their next steps so batch-max halving
-    #   rounds stay near 1 (pure lockstep-efficiency control)
     n_scatt: jnp.ndarray  # int32
     n_step: jnp.ndarray  # int32
     occupied: jnp.ndarray  # slot holds a photon (possibly awaiting record)
@@ -114,18 +124,9 @@ class Pool(typing.NamedTuple):
 
 
 class SecBuf(typing.NamedTuple):
-    """On-device secondary-photon buffer (InitPhoton SoA + count)."""
+    """On-device secondary-photon buffer: packed rows + count."""
 
-    x: jnp.ndarray  # (S, 4)
-    k: jnp.ndarray  # (S, 4)
-    w: jnp.ndarray
-    e: jnp.ndarray
-    l: jnp.ndarray
-    n_e_0: jnp.ndarray
-    theta_e_0: jnp.ndarray
-    b_0: jnp.ndarray
-    e_0: jnp.ndarray
-    n_scatt: jnp.ndarray  # int32
+    rows: jnp.ndarray  # (S, 16)
     count: jnp.ndarray  # scalar int32
 
 
@@ -139,36 +140,32 @@ class Counters(typing.NamedTuple):
 
 class State(typing.NamedTuple):
     pool: Pool
-    spec: jnp.ndarray  # (N_BINS + 1, 13) accumulators (+1 dump row)
+    spec: jnp.ndarray  # (N_BINS + 1, 13) engine-dtype accumulators (+1 dump row)
     counters: Counters
     sec: SecBuf
     backlog_pos: jnp.ndarray  # int32: next unconsumed primary
     key: jnp.ndarray
-    it: jnp.ndarray  # int32 iteration counter
+    it: jnp.ndarray  # int32 hot-iteration counter
 
 
 def empty_pool(n, dtype):
     z = lambda: jnp.zeros((n,), dtype)
     zi = lambda: jnp.zeros((n,), jnp.int32)
     zb = lambda: jnp.zeros((n,), bool)
-    z4 = lambda: jnp.zeros((n, 4), dtype)
+    z4 = lambda: jnp.zeros((4, n), dtype)
     return Pool(
         x=z4(), k=z4(), dkdlam=z4(), w=z(), e=z(), l=z(), x1i=z(), x2i=z(),
         tau_abs=z(), tau_scatt=z(), n_e_0=z(), theta_e_0=z(), b_0=z(), e_0=z(),
         e_0_s=z(), alpha_scatti=z(), alpha_absi=z(), bi=z(), pend_dl=z(),
-        sec_w=z(), dl_shrink=jnp.ones((n,), dtype), n_scatt=zi(), n_step=zi(),
+        sec_w=z(), n_scatt=zi(), n_step=zi(),
         occupied=zb(), alive=zb(), interacting=zb(), pend_push=zb(),
         at_event=zb(), record_pending=zb(),
     )
 
 
 def empty_secbuf(s, dtype):
-    z = lambda: jnp.zeros((s,), dtype)
-    return SecBuf(
-        x=jnp.zeros((s, 4), dtype), k=jnp.zeros((s, 4), dtype), w=z(), e=z(),
-        l=z(), n_e_0=z(), theta_e_0=z(), b_0=z(), e_0=z(),
-        n_scatt=jnp.zeros((s,), jnp.int32), count=jnp.zeros((), jnp.int32),
-    )
+    return SecBuf(rows=jnp.zeros((s, ROW_WIDTH), dtype),
+                  count=jnp.zeros((), jnp.int32))
 
 
 def init_counters(max_tau_scatt_init, dtype):
@@ -180,39 +177,63 @@ def init_counters(max_tau_scatt_init, dtype):
     )
 
 
+def pack_rows(b: emission.InitPhotons, dtype) -> np.ndarray:
+    """Pack an InitPhotons batch into (T, 16) rows (host-side numpy)."""
+    x = np.asarray(b.x, np.float64)
+    k = np.asarray(b.k, np.float64)
+    cols = [x[:, i] for i in range(4)] + [k[:, i] for i in range(4)] + [
+        np.asarray(b.w, np.float64), np.asarray(b.e, np.float64),
+        np.asarray(b.l, np.float64), np.asarray(b.n_e_0, np.float64),
+        np.asarray(b.theta_e_0, np.float64), np.asarray(b.b_0, np.float64),
+        np.asarray(b.e_0, np.float64),
+        np.asarray(b.n_scatt, np.float64),
+    ]
+    return np.stack(cols, axis=1).astype(np.dtype(dtype))
+
+
 def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig):
     """Build the jitted transport step functions for one dump.
 
     ``prims``: (8, n1, n2) primitives on device.  Returns a dict of
-    functions; ``run(state, backlog)`` drives the while_loop to completion.
+    functions; ``run(state, backlog_rows)`` drives the while_loop until the
+    iteration budget or completion.  ``backlog_rows``: (T, 16) packed rows
+    (see :func:`pack_rows`).
     """
     dt = cfg.dtype
     a, hs, r0 = mc.a, mc.h_slope, mc.r_0
     x2_stop = mc.x_stop[2]
     d_tau_k = mc.d_tau_k
     weight_min = consts.WEIGHT_MIN * cfg.weight_scale
-    # Cast lookup tables and primitives to the engine dtype so a float32
-    # engine doesn't silently promote every op to f64.
-    tables = Tables(*(jnp.asarray(t, dt) for t in tables))
-    prims = jnp.asarray(prims, dt)
-    # Row-major (n1*n2, 8) layout: each bilinear corner is one row gather.
-    prims_rows = jnp.asarray(prims.reshape(8, -1).T)
+
+    # Chebyshev surrogates for the hot-loop table lookups (host fit, once).
+    hc_coeffs = jnp.asarray(cheb.fit_hotcross(np.asarray(tables.hotcross)), dt)
+    k2_coeffs = np.asarray(cheb.fit_k2())  # unrolled into the FMA chain
+
+    # Packed bilinear-corner table: ONE gather per hot step (see fluid.py).
+    corner_rows = jnp.asarray(
+        fluid.make_corner_table(np.asarray(prims), mc.n1, mc.n2), dt
+    )
 
     # ------------------------------------------------------------------
-    # physics helpers
+    # physics helpers (component layer)
     # ------------------------------------------------------------------
-    def eval_fluid(x):
-        g_cov = geometry.gcov(x, a, hs, r0)
-        fs = fluid.get_fluid_params(x, g_cov, prims, mc, prims_rows=prims_rows)
-        return g_cov, fs
+    def x_comps(x):
+        return (x[0], x[1], x[2], x[3])
 
-    def eval_alphas(k, fs):
-        """(theta, nu, alpha_scatt, alpha_abs) at a position (nu<0 handled by caller)."""
-        theta = radiation.bk_angle(k, fs.u_cov, fs.b_cov, fs.b, mc.b_unit)
-        nu = radiation.fluid_nu(k, fs.u_cov)
+    def eval_fluid(p: Pool):
+        """FluidC + metric tuple at the pool positions (the hot-step gather)."""
+        x1, x2 = p.x[1], p.x[2]
+        g7 = geometry.gcov_c(x1, x2, a, hs, r0)
+        fl = fluid.get_fluid_params_c(x1, x2, corner_rows, mc, g7=g7)
+        return g7, fl
+
+    def eval_alphas(k, fl):
+        """(theta, nu, alpha_scatt, alpha_abs) from component tuples."""
+        theta, nu = radiation.kinematics_c(k, fl.u_cov, fl.b_cov, fl.b, mc.b_unit)
         nu_safe = jnp.abs(nu) + consts.EPS
-        a_sc = radiation.alpha_inv_scatt(nu_safe, fs.theta_e, fs.n_e, tables.hotcross)
-        a_ab = radiation.alpha_inv_abs(nu_safe, fs.theta_e, fs.n_e, fs.b, theta, tables.k2_table)
+        a_sc = radiation.alpha_inv_scatt_c(nu_safe, fl.theta_e, fl.n_e, hc_coeffs)
+        a_ab = radiation.alpha_inv_abs_c(nu_safe, fl.theta_e, fl.n_e, fl.b, theta,
+                                         k2_coeffs)
         return theta, nu, a_sc, a_ab
 
     def bias_func(theta_e, w, counters):
@@ -235,47 +256,48 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
     # geodesic push: one full step with a bounded halving stack per lane
     # (harm_model.cpp:1217-1289; iterative form super_photon.cu:1826-1929)
     # ------------------------------------------------------------------
-    def push_batch(x, k, dkdlam, e_0_s, dl, active):
-        n = x.shape[0]
-        cols = jnp.arange(8, dtype=jnp.int32)[None, :]  # stack column ids
-        stack = jnp.zeros((n, 8), jnp.int32)
+    def push_c(x, k, dkdlam, e_0_s, dl, active):
+        """Component-form push; x/k/dkdlam are 4-tuples of (N,) arrays."""
+        n = e_0_s.shape[0]
+        cols = jnp.arange(8, dtype=jnp.int32)[:, None]  # (8, 1) stack rows
+        stack = jnp.zeros((8, n), jnp.int32)
         sp = jnp.where(active, 1, 0).astype(jnp.int32)
 
         # The reference freezes photons with x1 < x_start1 (horizon plunge).
-        frozen = x[:, 1] < mc.x_start[1]
+        frozen = x[1] < mc.x_start[1]
         sp = jnp.where(frozen, 0, sp)
 
         def seg_body(s):
             x, k, dk, e0s, stack, sp, failed, it = s
             act = sp > 0
-            # One-hot stack ops (no gathers/scatters: 8-wide masked math).
-            top = (cols == (sp - 1)[:, None])
-            depth = jnp.sum(jnp.where(top, stack, 0), axis=1, dtype=jnp.int32)
+            # One-hot stack ops: (8, N) masked math, no gathers.
+            top = cols == (sp - 1)[None, :]
+            depth = jnp.sum(jnp.where(top, stack, 0), axis=0, dtype=jnp.int32)
             seg_dl = dl * jnp.exp2(-depth.astype(dt))
 
             dl_2 = 0.5 * seg_dl
             # half-step predictor (harm_model.cpp:1233-1238)
-            dkh = dk * dl_2[:, None]
-            k_half = k + dkh
-            k_pred = k_half + dkh
-            x_new = x + k_half * seg_dl[:, None]
+            k_half = tuple(kk + dd * dl_2 for kk, dd in zip(k, dk))
+            k_pred = tuple(kh + dd * dl_2 for kh, dd in zip(k_half, dk))
+            x_new = tuple(xx + kh * seg_dl for xx, kh in zip(x, k_half))
 
-            conn = geometry.connection(x_new, a, hs)
+            conn = geometry.connection_c(x_new[1], x_new[2], a, hs)
 
             # Fixed-point iterations, unrolled.
             err = jnp.zeros_like(e0s)
             dk_new = dk
             for _ in range(cfg.fp_iters):
-                dk_new = geometry.geodesic_rhs(conn, k_pred)
-                k_next = k_half + dl_2[:, None] * dk_new
-                err = jnp.sum(
-                    jnp.abs((k_pred - k_next) / (k_next + consts.EPS)), axis=-1
+                dk_new = geometry.geodesic_rhs_c(conn, *k_pred)
+                k_next = tuple(kh + dl_2 * dd for kh, dd in zip(k_half, dk_new))
+                err = sum(
+                    jnp.abs((kp - kn) / (kn + consts.EPS))
+                    for kp, kn in zip(k_pred, k_next)
                 )
                 k_pred = k_next
             k_new = k_pred
 
-            g00, g01, g03 = geometry.gcov_row0(x_new, a, hs, r0)
-            e_1 = -(k_new[:, 0] * g00 + k_new[:, 1] * g01 + k_new[:, 3] * g03)
+            g00, g01, g03 = geometry.gcov_row0_c(x_new[1], x_new[2], a, hs, r0)
+            e_1 = -(k_new[0] * g00 + k_new[1] * g01 + k_new[3] * g03)
             err_e = jnp.abs((e_1 - e0s) / (e0s + consts.EPS))
 
             bad = (err_e > consts.E_DRIFT_TOL) | (err > consts.E_TOL) | ~jnp.isfinite(err)
@@ -284,30 +306,41 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
             commit = act & ~fail
 
             # commit: advance state, pop the segment
-            x = jnp.where(commit[:, None], x_new, x)
-            k = jnp.where(commit[:, None], k_new, k)
-            dk = jnp.where(commit[:, None], dk_new, dk)
+            x = tuple(jnp.where(commit, xn, xx) for xn, xx in zip(x_new, x))
+            k = tuple(jnp.where(commit, kn, kk) for kn, kk in zip(k_new, k))
+            dk = tuple(jnp.where(commit, dn, dd) for dn, dd in zip(dk_new, dk))
             e0s = jnp.where(commit, e_1, e0s)
             sp_new = jnp.where(commit, sp - 1, sp)
 
             # fail: replace the top with two half segments (depth + 1):
-            # write depth+1 at columns sp-1 and sp via one-hot select.
-            nxt = (cols == sp[:, None])
-            write = fail[:, None] & (top | nxt)
-            stack = jnp.where(write, (depth + 1)[:, None], stack)
+            # write depth+1 at rows sp-1 and sp via one-hot select.
+            nxt = cols == sp[None, :]
+            write = fail[None, :] & (top | nxt)
+            stack = jnp.where(write, (depth + 1)[None, :], stack)
             sp_new = jnp.where(fail, jnp.minimum(sp + 1, 8), sp_new)
 
             return x, k, dk, e0s, stack, sp_new, failed | fail, it + 1
 
-        def seg_cond2(s):
+        def seg_cond(s):
             return jnp.any(s[5] > 0) & (s[7] < cfg.max_inner)
 
         x, k, dkdlam, e_0_s, _, _, failed, _ = lax.while_loop(
-            seg_cond2,
+            seg_cond,
             seg_body,
             (x, k, dkdlam, e_0_s, stack, sp, jnp.zeros_like(active), jnp.int32(0)),
         )
         return x, k, dkdlam, e_0_s, failed
+
+    def push_batch(x, k, dkdlam, e_0_s, dl, active):
+        """Array-facade push for tests/oracle parity: (N, 4) in/out."""
+        xc, kc, dkc, e0s, failed = push_c(
+            tuple(x[:, i] for i in range(4)),
+            tuple(k[:, i] for i in range(4)),
+            tuple(dkdlam[:, i] for i in range(4)),
+            e_0_s, dl, active,
+        )
+        return (jnp.stack(xc, axis=-1), jnp.stack(kc, axis=-1),
+                jnp.stack(dkc, axis=-1), e0s, failed)
 
     # ------------------------------------------------------------------
     # stop / record criteria (harm_model.cpp:1589-1618)
@@ -319,8 +352,8 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
         record lanes escaped through r_max (recorded even at w == 0).
         """
         u = random.uniform(key, p.w.shape, dt)
-        horizon = p.x[:, 1] < mc.x1_min
-        escaped = p.x[:, 1] > consts.X1_MAX
+        horizon = p.x[1] < mc.x1_min
+        escaped = p.x[1] > consts.X1_MAX
         small = p.w < weight_min
 
         win = u <= (1.0 / consts.ROULETTE)
@@ -352,33 +385,22 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
         moving = moving & ~stopped
 
         # Save pre-step state for scatter rollback.
-        x2_, k2_, dk2_, e0s2_ = p.x, p.k, p.dkdlam, p.e_0_s
+        x_pre, k_pre, dk_pre, e0s_pre = p.x, p.k, p.dkdlam, p.e_0_s
 
         dl = jnp.where(
             p.pend_push,
             p.pend_dl,
-            geometry.step_size(p.x, p.k, x2_stop) * p.dl_shrink,
+            geometry.step_size_c(p.x[1], p.x[2], p.k[1], p.k[2], p.k[3], x2_stop),
         )
-        xn, kn, dkn, e0sn, had_fail = push_batch(
-            p.x, p.k, p.dkdlam, p.e_0_s, dl, moving
+        xc, kc, dkc, e0sn, _ = push_c(
+            x_comps(p.x), x_comps(p.k), x_comps(p.dkdlam), p.e_0_s, dl, moving
         )
-        # Adaptive step control (lockstep efficiency): lanes that needed
-        # halving take smaller steps next time; clean lanes relax back.
-        shrink = jnp.where(
-            moving & ~p.pend_push,
-            jnp.where(
-                had_fail,
-                jnp.maximum(p.dl_shrink * 0.25, 2.0 ** -7),
-                jnp.minimum(p.dl_shrink * 1.1892, 1.0),
-            ),
-            p.dl_shrink,
-        )
+        mv = moving[None, :]
         p = p._replace(
-            x=jnp.where(moving[:, None], xn, p.x),
-            k=jnp.where(moving[:, None], kn, p.k),
-            dkdlam=jnp.where(moving[:, None], dkn, p.dkdlam),
+            x=jnp.where(mv, jnp.stack(xc), p.x),
+            k=jnp.where(mv, jnp.stack(kc), p.k),
+            dkdlam=jnp.where(mv, jnp.stack(dkc), p.dkdlam),
             e_0_s=jnp.where(moving, e0sn, p.e_0_s),
-            dl_shrink=shrink,
         )
 
         # Lanes completing their partial re-push are now at the event point.
@@ -399,10 +421,10 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
         # ------------------------------------------------------------------
         inter = moving & ~arrived & ~stopped & p.interacting
 
-        g_cov, fs = eval_fluid(p.x)
-        bound = fs.n_e == 0.0
-        theta, nu, a_scf, a_abf = eval_alphas(p.k, fs)
-        bf = bias_func(fs.theta_e, p.w, state.counters)
+        g7, fl = eval_fluid(p)
+        bound = fl.n_e == 0.0
+        theta, nu, a_scf, a_abf = eval_alphas(x_comps(p.k), fl)
+        bf = bias_func(fl.theta_e, p.w, state.counters)
 
         dead_branch = bound | (nu < 0.0)
         half = 0.5 * d_tau_k * dl
@@ -439,11 +461,12 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
 
         # Scatter lanes roll back to the pre-step state and re-push by frac*dl.
         roll = scatter & ~absorbed
+        rl = roll[None, :]
         p = p._replace(
-            x=jnp.where(roll[:, None], x2_, p.x),
-            k=jnp.where(roll[:, None], k2_, p.k),
-            dkdlam=jnp.where(roll[:, None], dk2_, p.dkdlam),
-            e_0_s=jnp.where(roll, e0s2_, p.e_0_s),
+            x=jnp.where(rl, x_pre, p.x),
+            k=jnp.where(rl, k_pre, p.k),
+            dkdlam=jnp.where(rl, dk_pre, p.dkdlam),
+            e_0_s=jnp.where(roll, e0s_pre, p.e_0_s),
             pend_dl=jnp.where(roll, dl * frac, p.pend_dl),
             sec_w=jnp.where(roll, sec_w, p.sec_w),
             pend_push=p.pend_push | roll,
@@ -454,7 +477,7 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
             alpha_absi=alpha_absi,
             bi=bi,
             interacting=jnp.where(
-                inter, (alpha_scatti > 0.0) | (alpha_absi > 0.0) | (fs.n_e > 0.0),
+                inter, (alpha_scatti > 0.0) | (alpha_absi > 0.0) | (fl.n_e > 0.0),
                 p.interacting,
             ),
             alive=p.alive & ~absorbed,
@@ -463,9 +486,8 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
         # Step count bookkeeping (consts.hpp:55; the cap is configurable —
         # the reference tolerates 1.28e6-step stragglers at scalar cost, but
         # in lockstep batches they dominate wall-clock).
-        stepped = moving
-        n_step = p.n_step + stepped.astype(jnp.int32)
-        over = stepped & (n_step > cfg.stall_steps)
+        n_step = p.n_step + moving.astype(jnp.int32)
+        over = moving & (n_step > cfg.stall_steps)
         p = p._replace(n_step=n_step, alive=p.alive & ~over)
 
         return state._replace(pool=p, key=key, it=state.it + 1)
@@ -480,9 +502,9 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
         dx2 = (mc.x_stop[2] - mc.x_start[2]) / (2.0 * consts.N_TH_BINS)
         mid = 0.5 * (mc.x_start[2] + mc.x_stop[2])
         ix2 = jnp.where(
-            p.x[:, 2] < mid,
-            jnp.floor(p.x[:, 2] / dx2),
-            jnp.floor((mc.x_stop[2] - p.x[:, 2]) / dx2),
+            p.x[2] < mid,
+            jnp.floor(p.x[2] / dx2),
+            jnp.floor((mc.x_stop[2] - p.x[2]) / dx2),
         ).astype(jnp.int32)
         l_e = jnp.log(jnp.maximum(p.e, 1e-30))
         i_e = (
@@ -495,16 +517,16 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
         ok = rec & in_bins
 
         idx = jnp.where(ok, ix2 * consts.N_E_BINS + i_e, DUMP_BIN)
-        w = p.w.astype(jnp.float64)
+        w = p.w
         vals = jnp.stack(
             [
                 w,
                 w * p.e,
                 jnp.ones_like(w),
-                p.n_scatt.astype(jnp.float64),
+                p.n_scatt.astype(dt),
                 w * p.x1i,
                 w * p.x2i * p.x2i,
-                w * p.x[:, 3] * p.x[:, 3],
+                w * p.x[3] * p.x[3],
                 w * p.tau_abs,
                 w * p.tau_scatt,
                 w * p.n_e_0,
@@ -521,8 +543,10 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
             n_recorded=counters.n_recorded + jnp.sum(ok).astype(jnp.int64),
             n_scatt_rec=counters.n_scatt_rec
             + jnp.sum(jnp.where(ok, p.n_scatt, 0)).astype(jnp.int64),
+            # max over all record-criterion lanes, not only in-bin ones
+            # (harm_model.cpp:1297-1299 updates before the bin-range checks).
             max_tau_scatt=jnp.maximum(
-                counters.max_tau_scatt, jnp.max(jnp.where(ok, p.tau_scatt, 0.0))
+                counters.max_tau_scatt, jnp.max(jnp.where(rec, p.tau_scatt, 0.0))
             ),
         )
         # Free recorded (and unrecordable) lanes.
@@ -536,50 +560,45 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
         """Run deferred scatter events; pack secondaries into the buffer."""
         ev = p.at_event
 
-        g_cov, fs = eval_fluid(p.x)
-        res = scattering.scatter_event(key, p.k, fs, g_cov, mc.b_unit)
+        g7, fl = eval_fluid(p)
+        res = scattering.scatter_event_c(key, x_comps(p.k), fl, g7, mc.b_unit)
 
         parent_die = ev & res.parent_die
-        make = ev & res.made & (fs.n_e > 0.0) & ~res.parent_die
+        make = ev & res.made & (fl.n_e > 0.0) & ~res.parent_die
 
         # Post-event opacity refresh for surviving parents (:1026-1039).
-        theta, nu, a_scf, a_abf = eval_alphas(p.k, fs)
+        theta, nu, a_scf, a_abf = eval_alphas(x_comps(p.k), fl)
         neg = nu < 0.0
         survivors = ev & ~parent_die
         p = p._replace(
             alpha_scatti=jnp.where(survivors, jnp.where(neg, 0.0, a_scf), p.alpha_scatti),
             alpha_absi=jnp.where(survivors, jnp.where(neg, 0.0, a_abf), p.alpha_absi),
-            bi=jnp.where(survivors, bias_func(fs.theta_e, p.w, counters), p.bi),
+            bi=jnp.where(survivors, bias_func(fl.theta_e, p.w, counters), p.bi),
             w=jnp.where(parent_die, 0.0, p.w),
             alive=p.alive & ~parent_die,
             occupied=p.occupied & ~parent_die,
             at_event=jnp.zeros_like(p.at_event),
         )
 
-        # Pack secondaries at sec.count + prefix ranks.
+        # Pack secondaries at sec.count + prefix ranks (one row scatter).
         rank = jnp.cumsum(make.astype(jnp.int32)) - 1
         pos = sec.count + rank
         room = pos < cfg.sec_cap
         put = make & room
         dropped = jnp.sum(make & ~room)
-        # Non-writing lanes get an out-of-range slot; mode="drop" discards them
-        # (a masked scatter: collision-free by the uniqueness of prefix ranks).
-        slot = jnp.where(put, pos, cfg.sec_cap)
+        slot = jnp.where(put, pos, cfg.sec_cap)  # mode="drop" discards these
 
-        def put_f(buf, vals):
-            return buf.at[slot].set(vals, mode="drop")
-
+        new_rows = jnp.stack(
+            [
+                p.x[0], p.x[1], p.x[2], p.x[3],
+                res.k_sec[0], res.k_sec[1], res.k_sec[2], res.k_sec[3],
+                p.sec_w, res.e_sec, res.l_sec, p.n_e_0, p.theta_e_0, fl.b,
+                p.e_0, (p.n_scatt + 1).astype(dt),
+            ],
+            axis=-1,
+        )
         sec = sec._replace(
-            x=put_f(sec.x, p.x),
-            k=put_f(sec.k, res.k_sec),
-            w=put_f(sec.w, p.sec_w),
-            e=put_f(sec.e, res.e_sec),
-            l=put_f(sec.l, res.l_sec),
-            n_e_0=put_f(sec.n_e_0, p.n_e_0),
-            theta_e_0=put_f(sec.theta_e_0, p.theta_e_0),
-            b_0=put_f(sec.b_0, fs.b),
-            e_0=put_f(sec.e_0, p.e_0),
-            n_scatt=put_f(sec.n_scatt, p.n_scatt + 1),
+            rows=sec.rows.at[slot].set(new_rows, mode="drop"),
             count=sec.count + jnp.sum(put).astype(jnp.int32),
         )
         counters = counters._replace(
@@ -587,11 +606,14 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
         )
         return p, sec, counters
 
-    def refill(p: Pool, sec: SecBuf, backlog, backlog_pos, counters):
-        """Fill free slots: secondaries (LIFO) first, then backlog primaries."""
+    def refill(p: Pool, sec: SecBuf, backlog_rows, backlog_pos, counters):
+        """Fill free slots: secondaries (LIFO) first, then backlog primaries.
+
+        Two packed-row gathers replace the 13 per-field gathers of a naive
+        SoA refill.
+        """
         free = ~p.occupied
-        n = p.w.shape[0]
-        t_total = backlog.x.shape[0]
+        t_total = backlog_rows.shape[0]
 
         rank = jnp.cumsum(free.astype(jnp.int32)) - 1  # rank among free slots
         n_sec = sec.count
@@ -605,49 +627,45 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
 
         load = from_sec | from_bl
 
-        def pick4(sec_f, bl_f, cur):
-            v = jnp.where(from_sec[:, None], sec_f[sec_idx], bl_f[bl_idx])
-            return jnp.where(load[:, None], v, cur)
+        rows = jnp.where(
+            from_sec[:, None], sec.rows[sec_idx], backlog_rows[bl_idx]
+        ).T  # (16, N): components into the sublane dim
 
-        def pick1(sec_f, bl_f, cur):
-            v = jnp.where(from_sec, sec_f[sec_idx], bl_f[bl_idx])
-            return jnp.where(load, v, cur)
-
-        x = pick4(sec.x, backlog.x, p.x)
-        k = pick4(sec.k, backlog.k, p.k)
-        w = pick1(sec.w, backlog.w, p.w)
-        e = pick1(sec.e, backlog.e, p.e)
-        lq = pick1(sec.l, backlog.l, p.l)
-        n_e_0 = pick1(sec.n_e_0, backlog.n_e_0, p.n_e_0)
-        theta_e_0 = pick1(sec.theta_e_0, backlog.theta_e_0, p.theta_e_0)
-        b_0 = pick1(sec.b_0, backlog.b_0, p.b_0)
-        e_0 = pick1(sec.e_0, backlog.e_0, p.e_0)
-        n_sc = jnp.where(
-            load,
-            jnp.where(from_sec, sec.n_scatt[sec_idx], backlog.n_scatt[bl_idx]),
-            p.n_scatt,
-        )
+        x_new = rows[0:4]
+        k_new = rows[4:8]
+        w = rows[ROW_W]
+        e = rows[ROW_E]
 
         # Invalid photons are dropped on load (harm_model.cpp:895-900).
         bad = (
-            jnp.any(jnp.isnan(x), axis=-1) | jnp.any(jnp.isnan(k), axis=-1) | (w == 0.0)
+            jnp.any(jnp.isnan(x_new), axis=0)
+            | jnp.any(jnp.isnan(k_new), axis=0)
+            | (w == 0.0)
         )
         ok = load & ~bad
 
+        ld = load[None, :]
         zero = jnp.zeros_like(w)
+        pick = lambda row, cur: jnp.where(load, row, cur)
         p = p._replace(
-            x=x, k=k, w=w, e=e, l=lq, n_e_0=n_e_0, theta_e_0=theta_e_0, b_0=b_0,
-            e_0=e_0,
-            e_0_s=jnp.where(load, e, p.e_0_s),
-            x1i=jnp.where(load, x[:, 1], p.x1i),
-            x2i=jnp.where(load, x[:, 2], p.x2i),
-            tau_abs=jnp.where(load, zero, p.tau_abs),
-            tau_scatt=jnp.where(load, zero, p.tau_scatt),
-            n_scatt=n_sc,
+            x=jnp.where(ld, x_new, p.x),
+            k=jnp.where(ld, k_new, p.k),
+            w=pick(w, p.w),
+            e=pick(e, p.e),
+            l=pick(rows[ROW_L], p.l),
+            n_e_0=pick(rows[ROW_NE0], p.n_e_0),
+            theta_e_0=pick(rows[ROW_THETAE0], p.theta_e_0),
+            b_0=pick(rows[ROW_B0], p.b_0),
+            e_0=pick(rows[ROW_E0], p.e_0),
+            e_0_s=pick(e, p.e_0_s),
+            x1i=pick(x_new[1], p.x1i),
+            x2i=pick(x_new[2], p.x2i),
+            tau_abs=pick(zero, p.tau_abs),
+            tau_scatt=pick(zero, p.tau_scatt),
+            n_scatt=jnp.where(load, rows[ROW_NSCATT].astype(jnp.int32), p.n_scatt),
             n_step=jnp.where(load, 0, p.n_step),
-            pend_dl=jnp.where(load, zero, p.pend_dl),
-            sec_w=jnp.where(load, zero, p.sec_w),
-            dl_shrink=jnp.where(load, jnp.ones_like(p.dl_shrink), p.dl_shrink),
+            pend_dl=pick(zero, p.pend_dl),
+            sec_w=pick(zero, p.sec_w),
             occupied=p.occupied | ok,
             alive=p.alive | ok,
             pend_push=p.pend_push & ~load,
@@ -665,30 +683,30 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
 
     def init_fresh(p: Pool, fresh, counters):
         """Track-start initialisation (harm_model.cpp:902-915) for new lanes."""
-        conn = geometry.connection(p.x, a, hs)
-        dkdlam0 = geometry.geodesic_rhs(conn, p.k)
+        conn = geometry.connection_c(p.x[1], p.x[2], a, hs)
+        dk0 = geometry.geodesic_rhs_c(conn, p.k[0], p.k[1], p.k[2], p.k[3])
 
-        g_cov, fs = eval_fluid(p.x)
-        theta, nu, a_sc, a_ab = eval_alphas(p.k, fs)
-        inside = fs.n_e > 0.0
-        b0 = bias_func(fs.theta_e, p.w, counters)
+        g7, fl = eval_fluid(p)
+        theta, nu, a_sc, a_ab = eval_alphas(x_comps(p.k), fl)
+        inside = fl.n_e > 0.0
+        b0 = bias_func(fl.theta_e, p.w, counters)
 
         return p._replace(
-            dkdlam=jnp.where(fresh[:, None], dkdlam0, p.dkdlam),
+            dkdlam=jnp.where(fresh[None, :], jnp.stack(dk0), p.dkdlam),
             alpha_scatti=jnp.where(fresh, jnp.where(inside, a_sc, 0.0), p.alpha_scatti),
             alpha_absi=jnp.where(fresh, jnp.where(inside, a_ab, 0.0), p.alpha_absi),
             bi=jnp.where(fresh, jnp.where(inside, b0, 0.0), p.bi),
             interacting=jnp.where(fresh, inside, p.interacting),
         )
 
-    def periodic_phase(state: State, backlog) -> State:
+    def periodic_phase(state: State, backlog_rows) -> State:
         p, spec, counters, sec = state.pool, state.spec, state.counters, state.sec
         key, k_sc = random.split(state.key)
 
         # NaN insurance: poisoned lanes die unrecorded.
         poison = p.occupied & (
-            jnp.any(jnp.isnan(p.x), axis=-1)
-            | jnp.any(jnp.isnan(p.k), axis=-1)
+            jnp.any(jnp.isnan(p.x), axis=0)
+            | jnp.any(jnp.isnan(p.k), axis=0)
             | jnp.isnan(p.w)
         )
         p = p._replace(
@@ -703,7 +721,7 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
         # Free dead-but-unrecorded lanes (horizon, roulette, absorbed).
         p = p._replace(occupied=p.occupied & (p.alive | p.record_pending))
         p, sec, backlog_pos, counters, fresh = refill(
-            p, sec, backlog, state.backlog_pos, counters
+            p, sec, backlog_rows, state.backlog_pos, counters
         )
         p = init_fresh(p, fresh, counters)
 
@@ -715,8 +733,9 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
     # ------------------------------------------------------------------
     # drivers
     # ------------------------------------------------------------------
-    def run(state: State, backlog) -> State:
-        t_total = backlog.x.shape[0]
+    def run(state: State, backlog_rows) -> State:
+        t_total = backlog_rows.shape[0]
+        n_super = max(1, cfg.m_period)
 
         def cond(state):
             return (
@@ -726,13 +745,8 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
             ) & (state.it < cfg.max_outer)
 
         def body(state):
-            state = lax.cond(
-                state.it % cfg.m_period == 0,
-                lambda s: periodic_phase(s, backlog),
-                lambda s: s,
-                state,
-            )
-            return hot_step(state)
+            state = periodic_phase(state, backlog_rows)
+            return lax.fori_loop(0, n_super, lambda i, s: hot_step(s), state)
 
         state = lax.while_loop(cond, body, state)
         # Final flush of any pending records (all lanes are dead here).
@@ -743,7 +757,7 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
     def fresh_state(key):
         return State(
             pool=empty_pool(cfg.n_pool, dt),
-            spec=jnp.zeros((N_BINS + 1, N_SPEC_CHAN), jnp.float64),
+            spec=jnp.zeros((N_BINS + 1, N_SPEC_CHAN), dt),
             counters=init_counters(mc.max_tau_scatt0, dt),
             sec=empty_secbuf(cfg.sec_cap, dt),
             backlog_pos=jnp.zeros((), jnp.int32),
