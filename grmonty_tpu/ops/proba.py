@@ -55,7 +55,12 @@ def sample_y_distr(key, theta_e):
         dof = jnp.where(
             x1 < c1, 3, jnp.where(x1 < c2, 4, jnp.where(x1 < c3, 5, 6))
         )
-        x = random.chisquare(k2, dof.astype(dtype), shape=shape, dtype=dtype)
+        # chi^2(dof) as a masked sum of squared normals — the GPU reference's
+        # construction (proba.cuh:229), and loop-free on device unlike the
+        # gamma rejection sampler inside jax.random.chisquare.
+        nrm = random.normal(k2, (6,) + shape, dtype)
+        use = jax.lax.broadcasted_iota(jnp.int32, (6,) + shape, 0) < dof[None, ...]
+        x = jnp.sum(jnp.where(use, nrm * nrm, 0.0), axis=0)
         y_new = jnp.sqrt(x / 2.0)
 
         x2 = random.uniform(k3, shape, dtype)

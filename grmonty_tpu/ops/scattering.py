@@ -117,11 +117,15 @@ def sample_scattered_photon_c(key, k_tet, p):
     return tetrads.boost_c(kpe, p_rev)
 
 
-def scatter_event_c(key, k_coord, fl, g7, b_unit) -> ScatterResultC:
+def scatter_event_c(key, k_coord, fl, g7, b_unit, active=None) -> ScatterResultC:
     """Component-form :func:`scatter_event` (harm_model.cpp:1071-1145).
 
     ``k_coord``: 4-tuple of (N,) wave-vector components; ``fl``: FluidC at
-    the event; ``g7``: covariant metric component tuple.
+    the event; ``g7``: covariant metric component tuple.  ``active`` masks
+    the lanes actually at a scatter event: inactive lanes get placeholder
+    sampler inputs so they accept immediately — otherwise a single
+    high-energy bystander lane (sigma_KN ~ 1e-2) drags every masked
+    rejection loop to its round cap, which the whole batch pays.
     """
     k0 = k_coord[0]
     parent_die = (
@@ -152,6 +156,8 @@ def scatter_event_c(key, k_coord, fl, g7, b_unit) -> ScatterResultC:
 
     key, k_el, k_sc = random.split(key, 3)
     guard = invalid_frame | parent_die
+    if active is not None:
+        guard = guard | ~active
     k_tet_safe = (
         jnp.where(guard, 1.0e-6, k_tet[0]),
         jnp.where(guard, 1.0e-6, k_tet[1]),

@@ -58,8 +58,8 @@ class Simulation:
         config: engine_mod.EngineConfig | None = None,
         emit_chunk: int = 1 << 20,
         wave_tail_exit: int | None = None,
-        slice_iters: int = 4096,  # per-dispatch hot-iteration budget: long
-        # dispatches (>~10 s) trip the tunneled TPU runtime's watchdog
+        slice_iters: int = 512,  # per-dispatch hot-iteration budget: long
+        # dispatches (>~60 s) trip the tunneled TPU runtime's watchdog
         warmup: int = 1024,
         snapshot_every: int = 4,  # slices between host-side state snapshots
         max_retries: int = 3,  # device-fault retries per wave
@@ -100,32 +100,24 @@ class Simulation:
                 fluid_zone, g_cov_z, self.mc.b_unit
             )
 
-        put = jax.device_put
-        self.prims = put(np.asarray(prims))
-        self.g_det_z = put(np.asarray(g_det_z))
-        self.tables = engine_mod.Tables(
-            f_table=put(np.asarray(f_t)),
-            k2_table=put(np.asarray(k2_t)),
-            hotcross=put(np.asarray(hc)),
-            weights=put(np.asarray(weights)),
-        )
+        # Everything device-resident is also kept as host numpy so a device
+        # fault can rebuild the backend and continue from a snapshot.
+        self._host = {
+            "prims": np.asarray(prims),
+            "g_det_z": np.asarray(g_det_z),
+            "f_t": np.asarray(f_t),
+            "k2_t": np.asarray(k2_t),
+            "hc": np.asarray(hc),
+            "weights": np.asarray(weights),
+            "zone_x": np.asarray(zone_x),
+            "g_cov_z": np.asarray(g_cov_z),
+            "g_con_z": np.asarray(g_con_z),
+            "fluid_zone": jax.tree.map(np.asarray, fluid_zone),
+            "dn_max": np.asarray(dn_max),
+            "e_con_z": np.asarray(e_con_z),
+            "e_cov_z": np.asarray(e_cov_z),
+        }
         self.nz = np.asarray(nz)
-        # Emission sampling inputs stay on the host CPU backend: the zone
-        # sampler is init-adjacent host work in the reference too
-        # (producer threads, harm_model.cpp:813-892), and the engine only
-        # ever sees the finished InitPhotons batches.
-        cput = lambda a: jax.device_put(np.asarray(a), cpu)
-        self._cpu_dev = cpu
-        self.zone_x = cput(zone_x)
-        self.g_cov_z = cput(g_cov_z)
-        self.g_con_z = cput(g_con_z)
-        self.fluid_zone = jax.tree.map(cput, fluid_zone)
-        self.dn_max = cput(dn_max)
-        self.e_con_z = cput(e_con_z)
-        self.e_cov_z = cput(e_cov_z)
-        self._weights_cpu = cput(weights)
-        self._f_cpu = cput(f_t)
-        self._k2_cpu = cput(k2_t)
 
         self.key = random.PRNGKey(seed)
         # Main engine exits each wave once the backlog is drained and only a
@@ -138,19 +130,53 @@ class Simulation:
         # Each engine call runs at most slice_iters hot iterations so the
         # host can checkpoint the spectrum and log progress between slices.
         self._slice_iters = slice_iters
+        # Straggler drain runs as a cascade of shrinking pools (see
+        # _drain_tail); engines are built lazily and cached per pool size.
+        self._tail_engines = {}
+        # Host-side float64 spectrum accumulator, drained per slice.
+        self.spec_acc = np.zeros((engine_mod.N_BINS + 1, engine_mod.N_SPEC_CHAN))
+        self._build_device()
+        log.info("Initializing done")
+
+    def _build_device(self):
+        """Place arrays on devices and build the jitted engines.
+
+        Called at init and again after a device-fault recovery (the old
+        client's arrays and executables are unusable then).
+        """
+        h = self._host
+        cpu = jax.devices("cpu")[0]
+        self._cpu_dev = cpu
+        put = jax.device_put
+        self.prims = put(h["prims"])
+        self.g_det_z = put(h["g_det_z"])
+        self.tables = engine_mod.Tables(
+            f_table=put(h["f_t"]), k2_table=put(h["k2_t"]),
+            hotcross=put(h["hc"]), weights=put(h["weights"]),
+        )
+        # Emission sampling inputs stay on the host CPU backend: the zone
+        # sampler is init-adjacent host work in the reference too
+        # (producer threads, harm_model.cpp:813-892), and the engine only
+        # ever sees the finished InitPhotons batches.
+        cput = lambda a: jax.device_put(np.asarray(a), cpu)
+        self.zone_x = cput(h["zone_x"])
+        self.g_cov_z = cput(h["g_cov_z"])
+        self.g_con_z = cput(h["g_con_z"])
+        self.fluid_zone = jax.tree.map(cput, h["fluid_zone"])
+        self.dn_max = cput(h["dn_max"])
+        self.e_con_z = cput(h["e_con_z"])
+        self.e_cov_z = cput(h["e_cov_z"])
+        self._weights_cpu = cput(h["weights"])
+        self._f_cpu = cput(h["f_t"])
+        self._k2_cpu = cput(h["k2_t"])
+
         wave_cfg = self.cfg._replace(
-            tail_exit=wave_tail_exit,
-            max_outer=min(self.cfg.max_outer, slice_iters),
+            tail_exit=self._wave_tail_exit,
+            max_outer=min(self.cfg.max_outer, self._slice_iters),
         )
         self.engine = engine_mod.make_engine(self.mc, self.tables, self.prims, wave_cfg)
         self._run_jit = jax.jit(self.engine["run"])  # donation disabled: faults the axon TPU runtime
-        self.tail_cfg = self.cfg._replace(
-            n_pool=max(256, self.cfg.n_pool // 64), tail_exit=0,
-            max_outer=min(self.cfg.max_outer, 16 * slice_iters),
-        )
-        self._tail = None  # built lazily on first drain
-        # Host-side float64 spectrum accumulator, drained per slice.
-        self.spec_acc = np.zeros((engine_mod.N_BINS + 1, engine_mod.N_SPEC_CHAN))
+        self._tail_engines = {}  # rebuilt lazily (per pool size)
         # Sampler runs on CPU (f64) regardless of the engine dtype; inputs
         # are committed to the CPU device so jit compiles there.
         self._sample_jit = jax.jit(
@@ -160,7 +186,14 @@ class Simulation:
                 self._f_cpu, self._k2_cpu, dtype=jnp.float64,
             )
         )
-        log.info("Initializing done")
+
+    def _recover(self):
+        """Tear down the faulted PJRT client and rebuild everything."""
+        from jax._src import xla_bridge
+
+        jax.clear_caches()
+        xla_bridge._clear_backends()
+        self._build_device()
 
     # ------------------------------------------------------------------
     def plan(self) -> emission.EmissionPlan:
@@ -221,11 +254,11 @@ class Simulation:
         self.spec_acc += np.asarray(jax.device_get(state.spec), np.float64)
         return state._replace(spec=jnp.zeros_like(state.spec))
 
-    def _snapshot(self, state):
-        return jax.device_get(state), self.spec_acc.copy()
+    def _snapshot(self, state, backlog):
+        return jax.device_get(state), self.spec_acc.copy(), jax.device_get(backlog)
 
     def _restore(self, snap):
-        state_host, spec_acc = snap
+        state_host, spec_acc, _ = snap
         self.spec_acc = spec_acc.copy()
         return jax.device_put(state_host)
 
@@ -233,7 +266,7 @@ class Simulation:
         """Run one backlog wave in bounded slices with rate telemetry
         (the reference's 1 Hz photon-rate logging, harm_model.cpp:397-403),
         per-slice spectrum draining, and fault-retry from snapshots."""
-        snap = self._snapshot(state)
+        snap = self._snapshot(state, backlog)
         retries = 0
         s = 0
         while True:
@@ -251,12 +284,14 @@ class Simulation:
                             c + 1, s, retries, self.max_retries, err)
                 if retries > self.max_retries:
                     raise
-                jax.clear_caches()
+                time.sleep(5.0 * retries)
+                self._recover()
                 state = self._restore(snap)
+                backlog = jax.device_put(np.asarray(snap[2]))
                 continue
             s += 1
             if s % self.snapshot_every == 0:
-                snap = self._snapshot(state)
+                snap = self._snapshot(state, backlog)
             elapsed = time.time() - t0
             done = min(start + pos, total)
             log.info(
@@ -276,68 +311,95 @@ class Simulation:
             state = state._replace(it=jnp.zeros((), jnp.int32))
         return state
 
+    def _tail_engine(self, n_pool, exit_occ):
+        key = (n_pool, exit_occ)
+        if key not in self._tail_engines:
+            cfg = self.cfg._replace(
+                n_pool=n_pool, tail_exit=exit_occ, m_period=64,
+                max_outer=min(self.cfg.max_outer, 64 * self._slice_iters),
+            )
+            eng = engine_mod.make_engine(self.mc, self.tables, self.prims, cfg)
+            self._tail_engines[key] = (eng, jax.jit(eng["run"]))
+        return self._tail_engines[key]
+
     def _drain_tail(self, state):
-        """Finish leftover stragglers in a narrow pool.
+        """Finish leftover stragglers in a cascade of shrinking pools.
 
-        Gathers the occupied lanes of the wide pool into a pool 64x
-        narrower and runs it to completion, carrying the spectrum, counters
-        and secondary buffer through.  Repeats until nothing is occupied.
+        A wave leaves up to ~n_pool/16 unfinished lanes.  Most need only a
+        few thousand more steps, but a handful sit on near-photon-orbit
+        trajectories and run to the per-photon step cap (~1e5-1e6 steps; the
+        reference pays the same per photon, consts.hpp:55).  Draining
+        everyone in one tiny pool serializes those orbiters cohort by
+        cohort, so: stage 1 drains the bulk in a n_pool/16 pool until only
+        256 lanes remain; stage 2 finishes the orbiters in a 256 pool where
+        each iteration is ~50x cheaper than a full-width one.
         """
-        if self._tail is None:
-            self._tail = engine_mod.make_engine(
-                self.mc, self.tables, self.prims, self.tail_cfg
-            )
-            self._tail_run = jax.jit(self._tail["run"])
-            # single zero-weight photon: dropped on load
-            self._tail_backlog = jnp.zeros((1, engine_mod.ROW_WIDTH), self.cfg.dtype)
+        stage1 = max(256, self.cfg.n_pool // 16)
+        sizes = [stage1, 256] if stage1 > 256 else [256]
+        zero_backlog = jnp.zeros((1, engine_mod.ROW_WIDTH), self.cfg.dtype)
+        for si, n_t in enumerate(sizes):
+            exit_occ = sizes[si + 1] if si + 1 < len(sizes) else 0
+            _, run = self._tail_engine(n_t, exit_occ)
+            while True:
+                occ = np.asarray(state.pool.occupied)
+                idx = np.nonzero(occ)[0]
+                if idx.size <= exit_occ and int(state.sec.count) == 0:
+                    break
+                take = idx[:n_t]
+                gather = np.zeros(n_t, np.int64)
+                gather[: take.size] = take
+                valid = np.zeros(n_t, bool)
+                valid[: take.size] = True
+                gi = jnp.asarray(gather)
+                vm = jnp.asarray(valid)
 
-        n_t = self.tail_cfg.n_pool
-        while True:
-            occ = np.asarray(state.pool.occupied)
-            idx = np.nonzero(occ)[0]
-            if idx.size == 0 and int(state.sec.count) == 0:
-                break
-            take = idx[:n_t]
-            gather = np.zeros(n_t, np.int64)
-            gather[: take.size] = take
-            valid = np.zeros(n_t, bool)
-            valid[: take.size] = True
-            gi = jnp.asarray(gather)
-            vm = jnp.asarray(valid)
-
-            small = jax.tree.map(lambda a: a[..., gi], state.pool)
-            small = small._replace(
-                occupied=small.occupied & vm,
-                alive=small.alive & vm,
-                pend_push=small.pend_push & vm,
-                at_event=small.at_event & vm,
-                record_pending=small.record_pending & vm,
-            )
-            tstate = engine_mod.State(
-                pool=small, spec=state.spec, counters=state.counters,
-                sec=state.sec, backlog_pos=jnp.zeros((), jnp.int32),
-                key=state.key, it=jnp.zeros((), jnp.int32),
-            )
-            log.info("tail drain: %d stragglers (+%d queued secondaries)",
-                     take.size, int(state.sec.count))
-            tstate = self._tail_run(tstate, self._tail_backlog)
-            while int(jax.device_get(tstate.pool.occupied.sum())) > 0 or int(tstate.sec.count) > 0:
-                log.info("tail drain: slice continues (occ=%d, nstep_max=%d)",
-                         int(jax.device_get(tstate.pool.occupied.sum())),
-                         int(jax.device_get(tstate.pool.n_step.max())))
-                tstate = self._tail_run(
-                    tstate._replace(it=jnp.zeros((), jnp.int32)), self._tail_backlog
+                small = jax.tree.map(lambda a: a[..., gi], state.pool)
+                small = small._replace(
+                    occupied=small.occupied & vm,
+                    alive=small.alive & vm,
+                    pend_push=small.pend_push & vm,
+                    at_event=small.at_event & vm,
+                    record_pending=small.record_pending & vm,
                 )
-            # clear the taken lanes from the wide pool
-            wide = state.pool
-            drop = jnp.zeros(occ.shape, bool).at[jnp.asarray(take)].set(True)
-            wide = wide._replace(
-                occupied=wide.occupied & ~drop, alive=wide.alive & ~drop,
-            )
-            state = state._replace(
-                pool=wide, spec=tstate.spec, counters=tstate.counters,
-                sec=tstate.sec, key=tstate.key,
-            )
+                tstate = engine_mod.State(
+                    pool=small, spec=state.spec, counters=state.counters,
+                    sec=state.sec, backlog_pos=jnp.zeros((), jnp.int32),
+                    key=state.key, it=jnp.zeros((), jnp.int32),
+                )
+                log.info("tail drain [pool %d]: %d stragglers (+%d queued secondaries)",
+                         n_t, take.size, int(state.sec.count))
+                tstate = run(tstate, zero_backlog)
+                while (int(jax.device_get(tstate.pool.occupied.sum())) > exit_occ
+                       or int(tstate.sec.count) > 0):
+                    log.info("tail drain: slice continues (occ=%d, nstep_max=%d)",
+                             int(jax.device_get(tstate.pool.occupied.sum())),
+                             int(jax.device_get(tstate.pool.n_step.max())))
+                    tstate = run(
+                        tstate._replace(it=jnp.zeros((), jnp.int32)), zero_backlog
+                    )
+                # put leftover small-pool lanes back into the wide pool slots
+                wide = state.pool
+                drop = jnp.zeros(occ.shape, bool).at[jnp.asarray(take)].set(True)
+                wide = wide._replace(
+                    occupied=wide.occupied & ~drop, alive=wide.alive & ~drop,
+                )
+                leftover = jax.tree.map(np.asarray, tstate.pool)
+                n_left = int(leftover.occupied.sum())
+                if n_left:
+                    li = np.nonzero(leftover.occupied)[0]
+                    wi = np.asarray(take[:0])  # placeholder
+                    free = np.nonzero(~np.asarray(wide.occupied))[0][:n_left]
+                    wide_h = jax.tree.map(np.asarray, wide)
+                    upd = {}
+                    for f in wide_h._fields:
+                        arr = getattr(wide_h, f).copy()
+                        arr[..., free] = getattr(leftover, f)[..., li]
+                        upd[f] = jnp.asarray(arr)
+                    wide = engine_mod.Pool(**upd)
+                state = state._replace(
+                    pool=wide, spec=tstate.spec, counters=tstate.counters,
+                    sec=tstate.sec, key=tstate.key,
+                )
         return state
 
     def run(self):

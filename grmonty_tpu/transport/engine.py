@@ -76,6 +76,15 @@ class EngineConfig(typing.NamedTuple):
     #   this many lanes remain occupied (they carry over to the next wave)
     stall_steps: int = consts.MAX_N_STEP  # per-photon step cap (reference value)
     fp_iters: int = consts.MAX_ITER  # implicit-midpoint fixed-point iterations
+    ref_err_metric: bool = False  # fixed-point convergence test for halving:
+    #   False (default): sum_i |dk_i| / (sum_i |k_i|) — scale-invariant and
+    #     zero-crossing-safe.  The reference's per-component relative error
+    #     (harm_model.cpp:1264) diverges whenever a k component crosses zero,
+    #     sending that lane down the full depth-7 halving tree (255 segment
+    #     rounds); harmless for a scalar CPU photon, catastrophic in lockstep
+    #     where the batch-max round count is what everyone pays.  The energy
+    #     drift check (err_e, the actual physics guard) is kept exactly.
+    #   True: the reference formula, for A/B parity runs.
     dtype: typing.Any = jnp.float64
     # Global factor applied to photon weights on emission.  Raw grmonty
     # weights reach ~1e50; TPU float64 is float32-pair emulation whose
@@ -289,10 +298,16 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
             for _ in range(cfg.fp_iters):
                 dk_new = geometry.geodesic_rhs_c(conn, *k_pred)
                 k_next = tuple(kh + dl_2 * dd for kh, dd in zip(k_half, dk_new))
-                err = sum(
-                    jnp.abs((kp - kn) / (kn + consts.EPS))
-                    for kp, kn in zip(k_pred, k_next)
-                )
+                if cfg.ref_err_metric:
+                    err = sum(
+                        jnp.abs((kp - kn) / (kn + consts.EPS))
+                        for kp, kn in zip(k_pred, k_next)
+                    )
+                else:
+                    kscale = sum(jnp.abs(kn) for kn in k_next) + consts.EPS
+                    err = sum(
+                        jnp.abs(kp - kn) for kp, kn in zip(k_pred, k_next)
+                    ) / kscale
                 k_pred = k_next
             k_new = k_pred
 
@@ -324,16 +339,16 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
         def seg_cond(s):
             return jnp.any(s[5] > 0) & (s[7] < cfg.max_inner)
 
-        x, k, dkdlam, e_0_s, _, _, failed, _ = lax.while_loop(
+        x, k, dkdlam, e_0_s, _, _, failed, rounds = lax.while_loop(
             seg_cond,
             seg_body,
             (x, k, dkdlam, e_0_s, stack, sp, jnp.zeros_like(active), jnp.int32(0)),
         )
-        return x, k, dkdlam, e_0_s, failed
+        return x, k, dkdlam, e_0_s, failed, rounds
 
     def push_batch(x, k, dkdlam, e_0_s, dl, active):
         """Array-facade push for tests/oracle parity: (N, 4) in/out."""
-        xc, kc, dkc, e0s, failed = push_c(
+        xc, kc, dkc, e0s, failed, _ = push_c(
             tuple(x[:, i] for i in range(4)),
             tuple(k[:, i] for i in range(4)),
             tuple(dkdlam[:, i] for i in range(4)),
@@ -392,7 +407,7 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
             p.pend_dl,
             geometry.step_size_c(p.x[1], p.x[2], p.k[1], p.k[2], p.k[3], x2_stop),
         )
-        xc, kc, dkc, e0sn, _ = push_c(
+        xc, kc, dkc, e0sn, _, _ = push_c(
             x_comps(p.x), x_comps(p.k), x_comps(p.dkdlam), p.e_0_s, dl, moving
         )
         mv = moving[None, :]
@@ -561,7 +576,7 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
         ev = p.at_event
 
         g7, fl = eval_fluid(p)
-        res = scattering.scatter_event_c(key, x_comps(p.k), fl, g7, mc.b_unit)
+        res = scattering.scatter_event_c(key, x_comps(p.k), fl, g7, mc.b_unit, active=ev)
 
         parent_die = ev & res.parent_die
         make = ev & res.made & (fl.n_e > 0.0) & ~res.parent_die
@@ -581,12 +596,13 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
         )
 
         # Pack secondaries at sec.count + prefix ranks (one row scatter).
+        sec_cap = sec.rows.shape[0]
         rank = jnp.cumsum(make.astype(jnp.int32)) - 1
         pos = sec.count + rank
-        room = pos < cfg.sec_cap
+        room = pos < sec_cap
         put = make & room
         dropped = jnp.sum(make & ~room)
-        slot = jnp.where(put, pos, cfg.sec_cap)  # mode="drop" discards these
+        slot = jnp.where(put, pos, sec_cap)  # mode="drop" discards these
 
         new_rows = jnp.stack(
             [
@@ -618,7 +634,7 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
         rank = jnp.cumsum(free.astype(jnp.int32)) - 1  # rank among free slots
         n_sec = sec.count
         from_sec = free & (rank < n_sec)
-        sec_idx = jnp.clip(n_sec - 1 - rank, 0, cfg.sec_cap - 1)
+        sec_idx = jnp.clip(n_sec - 1 - rank, 0, sec.rows.shape[0] - 1)
 
         bl_off = rank - n_sec
         bl_idx = backlog_pos + jnp.maximum(bl_off, 0)
@@ -765,8 +781,20 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
             it=jnp.zeros((), jnp.int32),
         )
 
+    def push_rounds(state: State):
+        """Diagnostic: inner halving-round count for one step of this pool."""
+        p = state.pool
+        moving = p.alive & ~p.at_event
+        dl = jnp.where(
+            p.pend_push, p.pend_dl,
+            geometry.step_size_c(p.x[1], p.x[2], p.k[1], p.k[2], p.k[3], x2_stop),
+        )
+        out = push_c(x_comps(p.x), x_comps(p.k), x_comps(p.dkdlam), p.e_0_s, dl, moving)
+        return out[-1]
+
     return {
         "run": run,
+        "push_rounds": push_rounds,
         "hot_step": hot_step,
         "periodic_phase": periodic_phase,
         "push_batch": push_batch,
