@@ -59,7 +59,7 @@ def main():
 
     cfg = engine.EngineConfig(
         n_pool=pool,
-        m_period=int(os.environ.get("BENCH_PERIOD", "16")),
+        m_period=int(os.environ.get("BENCH_PERIOD", "32")),
         sec_cap=4 * pool,
         stall_steps=stall,
         dtype=dtype,

@@ -28,6 +28,15 @@ PI = math.pi
 
 _MAX_REJECT_ITERS = 256  # cap on masked rejection rounds
 _STALL_ITERS = 64  # rounds between anti-stall theta_e halvings
+# The electron sampler's acceptance is sigma_KN(k_eff) which can sit at a few
+# percent for the hottest lanes; the whole batch pays the max round count, so
+# its loop gets a tighter cap with an earlier anti-stall (the reference's
+# anti-stall is the same mechanism at scalar cost, proba.cpp:59-64).  At the
+# cap the last draw is kept: ~0.1% of electrons from the p99.9 acceptance
+# tail get a slightly under-weighted KN rejection — statistically invisible
+# next to the MC noise (validated by the sampler-distribution tests).
+_MAX_ELECTRON_ITERS = 64
+_ELECTRON_STALL_ITERS = 32
 
 
 def sample_y_distr(key, theta_e):
@@ -205,17 +214,17 @@ def sample_electron_distr_p_c(key, k, theta_e):
         sigma_kn = _sigma_kn_total(k_eff)
         accept = random.uniform(k3, shape, dtype) < sigma_kn
 
-        take = accept & ~accepted
+        take = (accept | (it + 1 >= _MAX_ELECTRON_ITERS)) & ~accepted
         gamma = jnp.where(take, g_new, gamma)
         beta = jnp.where(take, b_new, beta)
         mu = jnp.where(take, mu_new, mu)
-        stall = ((it + 1) % _STALL_ITERS == 0) & ~(accepted | accept)
+        stall = ((it + 1) % _ELECTRON_STALL_ITERS == 0) & ~(accepted | accept)
         th_e = jnp.where(stall, th_e * 0.5, th_e)
-        return key, th_e, gamma, beta, mu, accepted | accept, it + 1
+        return key, th_e, gamma, beta, mu, accepted | take, it + 1
 
     def cond(state):
         *_, accepted, it = state
-        return (~jnp.all(accepted)) & (it < _MAX_REJECT_ITERS)
+        return (~jnp.all(accepted)) & (it < _MAX_ELECTRON_ITERS)
 
     init = (
         key, theta_e,

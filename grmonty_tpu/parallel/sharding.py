@@ -3,10 +3,13 @@
 The reference is strictly single-GPU (SURVEY §2: no NCCL/MPI anywhere); its
 scale-out analogue is the fixed 16384-photon pool per CUDA stream.  Here we
 shard the photon pool and emission backlog over a 1D ``jax.sharding.Mesh``
-axis ``'ph'`` with ``shard_map``: every chip runs the full transport engine
-on its own photon shard (photons are independent), and the only cross-chip
-communication is a single ``psum`` of the spectrum accumulators and counters
-when the run completes — photon transport needs no other collective.
+axis ``'ph'`` with ``jax.shard_map``: every chip runs the full transport
+engine on its own photon shard (photons are independent), and the only
+cross-chip communication is the reduction of the per-shard spectrum
+accumulators and counters when the run completes — photon transport needs no
+other collective.  The reduction is expressed as jitted ``jnp.sum``/``max``
+over the mesh-sharded leading axis, which XLA lowers to the all-reduce over
+ICI; nothing rides DCN.
 
 Design deviation (documented): the bias-feedback scalars (n_recorded,
 n_scatt, max_tau_scatt) are per-shard during flight rather than globally
@@ -25,12 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import random
-from jax.sharding import Mesh, PartitionSpec as P
-
-try:  # jax >= 0.4.35
-    from jax.experimental.shard_map import shard_map
-except ImportError:  # pragma: no cover
-    from jax.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from grmonty_tpu.transport import driver as driver_mod
 from grmonty_tpu.transport import engine as engine_mod
@@ -38,24 +36,58 @@ from grmonty_tpu.transport import engine as engine_mod
 log = logging.getLogger("grmonty")
 
 
-def _state_specs(spec_pool):
-    """PartitionSpec pytree for engine.State: pool sharded, rest per-shard
-    private (unreplicated scalars/accumulators -> check_rep disabled)."""
-    pool = engine_mod.Pool(*([spec_pool] * len(engine_mod.Pool._fields)))
-    sec = engine_mod.SecBuf(
-        x=spec_pool, k=spec_pool, w=spec_pool, e=spec_pool, l=spec_pool,
-        n_e_0=spec_pool, theta_e_0=spec_pool, b_0=spec_pool, e_0=spec_pool,
-        n_scatt=spec_pool, count=P(),
+def _state_specs():
+    """PartitionSpec pytree for the sharded engine State.
+
+    Pool arrays shard their lane axis (the last); per-shard scalars are
+    carried as (n_dev,)-shaped arrays sharded over 'ph' so each shard sees a
+    (1,) view it owns (squeezed at the shard_map boundary) — per-shard
+    progress (backlog_pos, sec.count) is then visible to the host without
+    any replication assumption.
+    """
+    pool = engine_mod.Pool(
+        x=P(None, "ph"), k=P(None, "ph"), dkdlam=P(None, "ph"),
+        **{f: P("ph") for f in engine_mod.Pool._fields if f not in ("x", "k", "dkdlam")},
     )
-    counters = engine_mod.Counters(*([P()] * len(engine_mod.Counters._fields)))
+    sec = engine_mod.SecBuf(rows=P("ph", None), count=P("ph"))
+    counters = engine_mod.Counters(*([P("ph")] * len(engine_mod.Counters._fields)))
     return engine_mod.State(
-        pool=pool, spec=P(), counters=counters, sec=sec,
-        backlog_pos=P(), key=P(), it=P(),
+        pool=pool, spec=P("ph", None, None), counters=counters, sec=sec,
+        backlog_pos=P("ph"), key=P("ph", None), it=P("ph"),
+    )
+
+
+def _squeeze_state(state):
+    """(1,)-leading per-shard arrays -> the scalar state the engine expects."""
+    return state._replace(
+        spec=state.spec[0],
+        counters=jax.tree.map(lambda a: a[0], state.counters),
+        sec=state.sec._replace(count=state.sec.count[0]),
+        backlog_pos=state.backlog_pos[0],
+        key=state.key[0],
+        it=state.it[0],
+    )
+
+
+def _unsqueeze_state(state):
+    return state._replace(
+        spec=state.spec[None],
+        counters=jax.tree.map(lambda a: a[None], state.counters),
+        sec=state.sec._replace(count=state.sec.count[None]),
+        backlog_pos=state.backlog_pos[None],
+        key=state.key[None],
+        it=state.it[None],
     )
 
 
 class ShardedSimulation(driver_mod.Simulation):
-    """Simulation with the photon pool sharded over ``n_devices`` chips."""
+    """Simulation with the photon pool sharded over ``n_devices`` chips.
+
+    ``cfg.n_pool``/``cfg.sec_cap`` are per-shard sizes; the emission chunk is
+    split evenly across shards and every shard consumes its slice to
+    completion (slices of ``slice_iters`` hot iterations, like the
+    single-chip driver, so the host can log progress and checkpoint).
+    """
 
     def __init__(self, *args, n_devices: int = 0, devices=None, **kwargs):
         devices = devices or jax.devices()
@@ -64,70 +96,82 @@ class ShardedSimulation(driver_mod.Simulation):
             raise ValueError(f"need {n_devices} devices, have {len(devices)}")
         self.n_devices = n_devices
         self.mesh = Mesh(np.array(devices[:n_devices]), ("ph",))
-        # Per-shard waves drain fully (no host-side tail compaction across
-        # shards); stragglers only block their own shard.
+        # per-shard chunks drain fully (stragglers only block their own shard)
         kwargs.setdefault("wave_tail_exit", 0)
         super().__init__(*args, **kwargs)
 
-        # Per-shard engine: the wide engine closures are reused inside
-        # shard_map; shapes inside the body are per-shard (n_pool each).
         run = self.engine["run"]
-        specs = _state_specs(P("ph"))
-        backlog_specs = driver_mod.emission.InitPhotons(
-            *([P("ph")] * len(driver_mod.emission.InitPhotons._fields))
-        )
+        specs = _state_specs()
 
         def _run_shard(state, backlog):
-            # each call gets a fresh backlog: restart its consumption cursor
-            state = state._replace(backlog_pos=jnp.zeros((), jnp.int32))
-            return run(state, backlog)
+            state = _squeeze_state(state)._replace(it=jnp.zeros((), jnp.int32))
+            state = run(state, backlog)
+            return _unsqueeze_state(state)
 
-        self._run_jit = jax.jit(
-            shard_map(
+        self._sharded_run = jax.jit(
+            jax.shard_map(
                 _run_shard,
                 mesh=self.mesh,
-                in_specs=(specs, backlog_specs),
+                in_specs=(specs, P("ph", None)),
                 out_specs=specs,
                 check_vma=False,
-            ),
-            donate_argnums=(0,),
+            )
         )
 
-        def _reduce(state):
-            def body(spec, counters):
-                spec = jax.lax.psum(spec, "ph")
-                counters = engine_mod.Counters(
-                    n_recorded=jax.lax.psum(counters.n_recorded, "ph"),
-                    n_scatt_rec=jax.lax.psum(counters.n_scatt_rec, "ph"),
-                    max_tau_scatt=jax.lax.pmax(counters.max_tau_scatt, "ph"),
-                    n_created=jax.lax.psum(counters.n_created, "ph"),
-                    n_sec_drop=jax.lax.psum(counters.n_sec_drop, "ph"),
-                )
-                return spec, counters
+        @jax.jit
+        def _reduce(spec, counters):
+            # jnp reductions over the sharded leading axis: XLA inserts the
+            # cross-chip all-reduce (the run's only collective).
+            spec_tot = jnp.sum(spec, axis=0)
+            return spec_tot, engine_mod.Counters(
+                n_recorded=jnp.sum(counters.n_recorded),
+                n_scatt_rec=jnp.sum(counters.n_scatt_rec),
+                max_tau_scatt=jnp.max(counters.max_tau_scatt),
+                n_created=jnp.sum(counters.n_created),
+                n_sec_drop=jnp.sum(counters.n_sec_drop),
+            )
 
-            return shard_map(
-                body, mesh=self.mesh,
-                in_specs=(P(), _state_specs(P("ph")).counters),
-                out_specs=(P(), engine_mod.Counters(*([P()] * 5))),
-                check_vma=False,
-            )(state.spec, state.counters)
-
-        self._reduce = jax.jit(_reduce)
+        self._reduce = _reduce
 
     # -- sharded state/backlog construction ------------------------------
     def _fresh_sharded_state(self, key):
-        keys = random.split(key, self.n_devices)
+        n = self.n_devices
+        sh = lambda spec: NamedSharding(self.mesh, spec)
+        specs = _state_specs()
+        single = jax.tree.map(np.asarray, self.engine["fresh_state"](key))
+        keys = np.asarray(random.split(key, n))
 
-        def mk(k):
-            return self.engine["fresh_state"](k[0])
+        pool = jax.tree.map(
+            lambda a, s: jax.device_put(
+                np.concatenate([a] * n, axis=-1), sh(s)
+            ),
+            single.pool, specs.pool,
+        )
+        state = engine_mod.State(
+            pool=pool,
+            spec=jax.device_put(np.stack([np.asarray(single.spec)] * n), sh(specs.spec)),
+            counters=jax.tree.map(
+                lambda a, s: jax.device_put(np.stack([np.asarray(a)] * n), sh(s)),
+                single.counters, specs.counters,
+            ),
+            sec=engine_mod.SecBuf(
+                rows=jax.device_put(
+                    np.concatenate([np.asarray(single.sec.rows)] * n, axis=0)
+                    .reshape(n * single.sec.rows.shape[0], engine_mod.ROW_WIDTH),
+                    sh(specs.sec.rows),
+                ),
+                count=jax.device_put(np.zeros(n, np.int32), sh(specs.sec.count)),
+            ),
+            backlog_pos=jax.device_put(np.zeros(n, np.int32), sh(specs.backlog_pos)),
+            key=jax.device_put(keys, sh(specs.key)),
+            it=jax.device_put(np.zeros(n, np.int32), sh(specs.it)),
+        )
+        return state
 
-        specs = _state_specs(P("ph"))
-        return jax.jit(
-            shard_map(
-                mk, mesh=self.mesh, in_specs=(P("ph"),), out_specs=specs,
-                check_vma=False,
-            )
-        )(keys.reshape(self.n_devices, 2))
+    def _put_backlog(self, rows):
+        return jax.device_put(
+            np.asarray(rows), NamedSharding(self.mesh, P("ph", None))
+        )
 
     def run(self):
         t0 = time.time()
@@ -135,21 +179,38 @@ class ShardedSimulation(driver_mod.Simulation):
         self.key, k_eng = random.split(self.key)
         state = self._fresh_sharded_state(k_eng)
 
+        n = self.n_devices
         # chunk must divide evenly across shards
-        chunk = -(-self.emit_chunk // self.n_devices) * self.n_devices
+        chunk = -(-self.emit_chunk // n) * n
+        per_shard = chunk // n
         n_chunks = max(1, -(-plan.total // chunk))
         for c in range(n_chunks):
-            backlog = self.emit(plan, c * chunk, chunk)
-            backlog = jax.device_put(
-                backlog,
-                jax.tree.map(
-                    lambda _: jax.sharding.NamedSharding(self.mesh, P("ph")), backlog
-                ),
+            batch = self._sample(plan, c * chunk, chunk)
+            rows = engine_mod.pack_rows(batch, self.cfg.dtype)
+            backlog = self._put_backlog(rows)
+            # reset every shard's backlog cursor for the fresh chunk
+            state = state._replace(
+                backlog_pos=jax.device_put(
+                    np.zeros(n, np.int32),
+                    NamedSharding(self.mesh, P("ph")),
+                )
             )
-            state = self._run_jit(state, backlog)
-        spec, counters = self._reduce(state)
+            # run the chunk to completion in bounded slices on every shard
+            while True:
+                state = self._sharded_run(state, backlog)
+                occ = int(jax.device_get(jnp.sum(state.pool.occupied)))
+                pos = np.asarray(jax.device_get(state.backlog_pos))
+                secs = np.asarray(jax.device_get(state.sec.count))
+                log.info(
+                    "sharded chunk %d/%d: occ=%d pos_min=%d sec=%d",
+                    c + 1, n_chunks, occ, int(pos.min()), int(secs.sum()),
+                )
+                if (pos >= per_shard).all() and secs.sum() == 0 and occ == 0:
+                    break
+
+        spec, counters = self._reduce(state.spec, state.counters)
         spec = driver_mod.unscale_spectrum(
-            np.asarray(jax.device_get(spec)), self.cfg.weight_scale
+            np.asarray(jax.device_get(spec), np.float64), self.cfg.weight_scale
         )
         counters = jax.device_get(counters)
         elapsed = time.time() - t0
@@ -165,11 +226,6 @@ class ShardedSimulation(driver_mod.Simulation):
         }
         log.info("Final rate %.2f ph/s over %d devices",
                  stats["photon_rate"], self.n_devices)
-
-        class _S:  # minimal state shim for report()
-            pass
-
-        s = _S()
-        s.spec = spec
-        self.state = s
+        self.spec = spec
+        self.state = state
         return np.asarray(spec), stats

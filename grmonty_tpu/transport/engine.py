@@ -85,6 +85,10 @@ class EngineConfig(typing.NamedTuple):
     #     where the batch-max round count is what everyone pays.  The energy
     #     drift check (err_e, the actual physics guard) is kept exactly.
     #   True: the reference formula, for A/B parity runs.
+    dbg_skip: str = ""  # comma-set of hot-loop pieces to stub out, for the
+    #   micro-benchmarks only: "fluid" (interaction physics incl. the corner
+    #   gather), "push" (geodesic step), "scatter" (periodic event phase),
+    #   "record", "refill".  Never set in production runs.
     dtype: typing.Any = jnp.float64
     # Global factor applied to photon weights on emission.  Raw grmonty
     # weights reach ~1e50; TPU float64 is float32-pair emulation whose
@@ -209,6 +213,7 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
     (see :func:`pack_rows`).
     """
     dt = cfg.dtype
+    dbg = frozenset(s for s in cfg.dbg_skip.split(",") if s)
     a, hs, r0 = mc.a, mc.h_slope, mc.r_0
     x2_stop = mc.x_stop[2]
     d_tau_k = mc.d_tau_k
@@ -407,9 +412,12 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
             p.pend_dl,
             geometry.step_size_c(p.x[1], p.x[2], p.k[1], p.k[2], p.k[3], x2_stop),
         )
-        xc, kc, dkc, e0sn, _, _ = push_c(
-            x_comps(p.x), x_comps(p.k), x_comps(p.dkdlam), p.e_0_s, dl, moving
-        )
+        if "push" in dbg:
+            xc, kc, dkc, e0sn = x_comps(p.x), x_comps(p.k), x_comps(p.dkdlam), p.e_0_s
+        else:
+            xc, kc, dkc, e0sn, _, _ = push_c(
+                x_comps(p.x), x_comps(p.k), x_comps(p.dkdlam), p.e_0_s, dl, moving
+            )
         mv = moving[None, :]
         p = p._replace(
             x=jnp.where(mv, jnp.stack(xc), p.x),
@@ -435,6 +443,11 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
         # interaction (harm_model.cpp:937-1056)
         # ------------------------------------------------------------------
         inter = moving & ~arrived & ~stopped & p.interacting
+        if "fluid" in dbg:
+            n_step = p.n_step + moving.astype(jnp.int32)
+            over = moving & (n_step > cfg.stall_steps)
+            p = p._replace(n_step=n_step, alive=p.alive & ~over)
+            return state._replace(pool=p, key=key, it=state.it + 1)
 
         g7, fl = eval_fluid(p)
         bound = fl.n_e == 0.0
@@ -732,14 +745,18 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
             at_event=p.at_event & ~poison,
         )
 
-        p, sec, counters = process_scatters(k_sc, p, sec, counters)
-        spec, counters, p = spectrum_add(spec, counters, p)
+        if "scatter" not in dbg:
+            p, sec, counters = process_scatters(k_sc, p, sec, counters)
+        if "record" not in dbg:
+            spec, counters, p = spectrum_add(spec, counters, p)
         # Free dead-but-unrecorded lanes (horizon, roulette, absorbed).
         p = p._replace(occupied=p.occupied & (p.alive | p.record_pending))
-        p, sec, backlog_pos, counters, fresh = refill(
-            p, sec, backlog_rows, state.backlog_pos, counters
-        )
-        p = init_fresh(p, fresh, counters)
+        backlog_pos = state.backlog_pos
+        if "refill" not in dbg:
+            p, sec, backlog_pos, counters, fresh = refill(
+                p, sec, backlog_rows, state.backlog_pos, counters
+            )
+            p = init_fresh(p, fresh, counters)
 
         return state._replace(
             pool=p, spec=spec, counters=counters, sec=sec,
