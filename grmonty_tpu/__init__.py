@@ -39,4 +39,4 @@ try:
 except Exception:  # pragma: no cover - older jax
     pass
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -22,7 +22,22 @@ _tried = False
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO_ROOT, "native", "harmio.cpp")
-_SO = os.path.join(_REPO_ROOT, "native", "libharmio.so")
+
+
+def _so_path():
+    """Build-cache path keyed on the source hash — a stale or foreign-built
+    binary can never be picked up silently (mtime comparisons are unreliable
+    after a fresh clone, where every file shares the checkout time)."""
+    import hashlib
+
+    with open(_SRC, "rb") as f:
+        h = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache = os.environ.get(
+        "GRMONTY_NATIVE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "grmonty_tpu_native"),
+    )
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, f"libharmio_{h}.so")
 
 
 def _load():
@@ -32,13 +47,14 @@ def _load():
             return _lib
         _tried = True
         try:
-            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            so = _so_path()
+            if not os.path.exists(so):
                 subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC, "-lpthread"],
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", so, _SRC, "-lpthread"],
                     check=True,
                     capture_output=True,
                 )
-            lib = ctypes.CDLL(_SO)
+            lib = ctypes.CDLL(so)
             lib.harmio_parse_doubles.restype = ctypes.c_int64
             lib.harmio_parse_doubles.argtypes = [
                 ctypes.c_char_p,

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import logging
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import jax
 import jax.numpy as jnp
@@ -243,10 +244,17 @@ class Simulation:
             n_scatt=jax.device_put(np.asarray(batch.n_scatt, np.int32)),
         )
 
+    def emit_packed_host(self, plan, start, count, limit=None):
+        """Packed (count, 16) backlog rows as host numpy (thread-safe to
+        prefetch: the sampler runs on the CPU backend and releases the GIL,
+        overlapping with accelerator tracking — the reference's
+        producer-thread design, harm_model.cpp:842-892)."""
+        batch = self._sample(plan, start, count, limit)
+        return engine_mod.pack_rows(batch, self.cfg.dtype)
+
     def emit_packed(self, plan, start, count, limit=None):
         """Packed (count, 16) backlog rows on the accelerator."""
-        batch = self._sample(plan, start, count, limit)
-        return jax.device_put(engine_mod.pack_rows(batch, self.cfg.dtype))
+        return jax.device_put(self.emit_packed_host(plan, start, count, limit))
 
     # ------------------------------------------------------------------
     def _drain_spec(self, state):
@@ -254,19 +262,20 @@ class Simulation:
         self.spec_acc += np.asarray(jax.device_get(state.spec), np.float64)
         return state._replace(spec=jnp.zeros_like(state.spec))
 
-    def _snapshot(self, state, backlog):
-        return jax.device_get(state), self.spec_acc.copy(), jax.device_get(backlog)
+    def _snapshot(self, state):
+        return jax.device_get(state), self.spec_acc.copy()
 
     def _restore(self, snap):
-        state_host, spec_acc, _ = snap
+        state_host, spec_acc = snap
         self.spec_acc = spec_acc.copy()
         return jax.device_put(state_host)
 
-    def _run_wave(self, state, backlog, t0, c, n_chunks, total, start=0):
+    def _run_wave(self, state, backlog_np, t0, c, n_chunks, total, start=0):
         """Run one backlog wave in bounded slices with rate telemetry
         (the reference's 1 Hz photon-rate logging, harm_model.cpp:397-403),
         per-slice spectrum draining, and fault-retry from snapshots."""
-        snap = self._snapshot(state, backlog)
+        backlog = jax.device_put(backlog_np)
+        snap = self._snapshot(state)
         retries = 0
         s = 0
         while True:
@@ -287,11 +296,11 @@ class Simulation:
                 time.sleep(5.0 * retries)
                 self._recover()
                 state = self._restore(snap)
-                backlog = jax.device_put(np.asarray(snap[2]))
+                backlog = jax.device_put(backlog_np)
                 continue
             s += 1
             if s % self.snapshot_every == 0:
-                snap = self._snapshot(state, backlog)
+                snap = self._snapshot(state)
             elapsed = time.time() - t0
             done = min(start + pos, total)
             log.info(
@@ -302,7 +311,7 @@ class Simulation:
                 done / max(elapsed, 1e-9),
             )
             finished = (
-                pos >= backlog.shape[0]
+                pos >= backlog_np.shape[0]
                 and sec == 0
                 and occupied <= self._wave_tail_exit
             )
@@ -425,11 +434,20 @@ class Simulation:
             end = starts[i + 1] if i + 1 < len(starts) else plan.total
             for cs in range(s, end, chunk):
                 waves.append((cs, min(chunk, end - cs)))
-        for c, (start, limit) in enumerate(waves):
-            backlog = self.emit_packed(plan, start, chunk, limit=limit)
-            state = state._replace(backlog_pos=jnp.zeros((), jnp.int32))
-            state = self._run_wave(state, backlog, t0, c, len(waves), plan.total,
-                                   start=start)
+        pool = ThreadPoolExecutor(max_workers=1)
+        try:
+            fut = pool.submit(self.emit_packed_host, plan, waves[0][0], chunk,
+                              waves[0][1])
+            for c, (start, limit) in enumerate(waves):
+                backlog_np = fut.result()
+                if c + 1 < len(waves):
+                    fut = pool.submit(self.emit_packed_host, plan,
+                                      waves[c + 1][0], chunk, waves[c + 1][1])
+                state = state._replace(backlog_pos=jnp.zeros((), jnp.int32))
+                state = self._run_wave(state, backlog_np, t0, c, len(waves),
+                                       plan.total, start=start)
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
 
         state = self._drain_tail(state)
         state = self._drain_spec(state)

@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Engine-vs-oracle accuracy validation with per-bin chi^2 tooling.
+
+Runs the batched TPU engine and the scalar CPU oracle (a direct
+transcription of the reference's recursive tracker) on the same dump and
+photon budget, then compares:
+
+* luminosity ratio
+* recorded-fraction ratio
+* per-bin chi^2 over the coarse-grained spectrum (energy bins grouped so
+  every group has enough oracle photons for Poisson statistics)
+
+Usage:
+    python tools/validate_accuracy.py [--photons 2000] [--mass-unit 4e19]
+                                      [--n1 64 --n2 32] [--json out.json]
+
+The oracle is ~1e3x slower than the engine; 2000 photons is ~1-2 h on one
+CPU core.  Results are written as JSON so the numbers can be quoted in the
+README and tracked across rounds.
+"""
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--photons", type=int, default=2000)
+    ap.add_argument("--mass-unit", type=float, default=4e19)
+    ap.add_argument("--photon-n", type=int, default=2000,
+                    help="photon_n used to build weight tables")
+    ap.add_argument("--n1", type=int, default=64)
+    ap.add_argument("--n2", type=int, default=32)
+    ap.add_argument("--seed", type=int, default=123)
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--group", type=int, default=10,
+                    help="energy bins per chi^2 group")
+    args = ap.parse_args()
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from grmonty_tpu import consts
+    from grmonty_tpu.models import torus
+    from grmonty_tpu.transport import cpu_reference, driver, engine
+    from grmonty_tpu.utils.logging import setup
+
+    setup("info")
+
+    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache")
+    os.makedirs(cache, exist_ok=True)
+    dump = os.path.join(cache, f"torus_{args.n1}x{args.n2}_dump")
+    if not os.path.exists(dump):
+        torus.write_torus_dump(dump, n1=args.n1, n2=args.n2)
+
+    cfg = engine.EngineConfig(
+        n_pool=1024, m_period=8, sec_cap=16384, max_outer=200000,
+        stall_steps=100000,
+    )
+    sim = driver.Simulation(dump, photon_n=args.photon_n,
+                            mass_unit=args.mass_unit, config=cfg,
+                            emit_chunk=4096, seed=args.seed, warmup=256)
+
+    # --- engine run on the full plan -----------------------------------
+    t0 = time.time()
+    spec_e, stats_e = sim.run()
+    t_eng = time.time() - t0
+    n_eng = stats_e["n_created"]
+
+    # --- oracle run on a fixed emission sample -------------------------
+    plan = sim.plan()
+    n_orc = min(args.photons, plan.total)
+    backlog = jax.device_get(sim.emit(plan, 0, n_orc))
+    backlog = backlog._replace(w=np.asarray(backlog.w) / sim.cfg.weight_scale)
+    tr = cpu_reference.CPUTracker(sim.mc, sim.tables, sim.prims, seed=args.seed + 1)
+    t0 = time.time()
+    tr.run(backlog, limit=n_orc)
+    t_orc = time.time() - t0
+
+    # --- comparisons ----------------------------------------------------
+    NB, NE = consts.N_TH_BINS, consts.N_E_BINS
+    se = spec_e[: NB * NE].reshape(NB, NE, 13)
+    so = tr.spec  # (NB, NE, 13)
+
+    lum_e = se[:, :, 1].sum() / n_eng
+    lum_o = so[:, :, 1].sum() / n_orc
+    rec_e = stats_e["n_recorded"] / n_eng
+    rec_o = tr.n_recorded / n_orc
+
+    # chi^2 over coarse groups of the theta-summed energy spectrum,
+    # using per-group MC variance estimated from photon counts.
+    g = args.group
+    ne_g = NE // g
+    e_e = se[:, :, 1].sum(0)[: ne_g * g].reshape(ne_g, g).sum(1) / n_eng
+    e_o = so[:, :, 1].sum(0)[: ne_g * g].reshape(ne_g, g).sum(1) / n_orc
+    n_e = se[:, :, 2].sum(0)[: ne_g * g].reshape(ne_g, g).sum(1)
+    n_o = so[:, :, 2].sum(0)[: ne_g * g].reshape(ne_g, g).sum(1)
+    use = (n_o >= 10) & (n_e >= 10)
+    # relative MC error per group ~ 1/sqrt(n); the weight spread inflates it,
+    # so this chi^2 is an upper bound on significance
+    var = (e_e**2 / np.maximum(n_e, 1) + e_o**2 / np.maximum(n_o, 1))
+    chi2 = float((((e_e - e_o) ** 2)[use] / var[use]).sum())
+    dof = int(use.sum())
+
+    out = {
+        "n_engine": int(n_eng),
+        "n_oracle": int(n_orc),
+        "engine_s": t_eng,
+        "oracle_s": t_orc,
+        "lum_per_photon_engine": float(lum_e),
+        "lum_per_photon_oracle": float(lum_o),
+        "lum_ratio": float(lum_e / lum_o),
+        "recorded_frac_engine": float(rec_e),
+        "recorded_frac_oracle": float(rec_o),
+        "rec_ratio": float(rec_e / rec_o),
+        "chi2": chi2,
+        "dof": dof,
+        "chi2_per_dof": chi2 / max(dof, 1),
+        "mass_unit": args.mass_unit,
+    }
+    print(json.dumps(out, indent=2))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
