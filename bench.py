@@ -69,6 +69,10 @@ def main():
     sim = driver.Simulation(
         dump, photon_n=photon_n, mass_unit=4.0e19, config=cfg,
         emit_chunk=1 << 20,
+        slice_iters=int(os.environ.get("BENCH_SLICE", "1024")),
+        # carry stragglers across waves instead of draining each wave's
+        # pool tail at low occupancy
+        wave_tail_exit=pool // 4,
     )
     spec, stats = sim.run()
     sim.report(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "bench_spectrum"))
