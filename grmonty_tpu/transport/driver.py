@@ -77,48 +77,65 @@ class Simulation:
         self.mc = fluid.make_model_consts(self.model)
 
         log.info("Initializing tables")
-        f_table, k2_table = cache.jnu_tables()
-        hc = cache.hotcross_table()
 
-        # All init-time table construction runs on the host CPU backend
-        # (native f64, no remote compiles), mirroring the reference's
-        # host-side init; only the results ship to the accelerator.
-        cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
-            prims = jnp.asarray(self.model.data.stacked())
-            zone_x, g_cov_z, g_con_z, g_det_z = fluid.precompute_zone_geometry(self.mc)
-            fluid_zone = fluid.get_fluid_zone(prims, g_cov_z, g_con_z, self.mc)
-            f_t = jnp.asarray(f_table)
-            k2_t = jnp.asarray(k2_table)
-            weights = emission.weight_table(
-                fluid_zone, g_det_z, self.mc, photon_n, f_t, k2_t
-            )
-            nint_t, dndmax_t = emission.nint_table(weights, self.mc, f_t)
-            nz, dn_max = emission.zone_budgets(
-                fluid_zone, g_det_z, nint_t, dndmax_t, k2_t, photon_n
-            )
-            e_con_z, e_cov_z = emission.zone_tetrads(
-                fluid_zone, g_cov_z, self.mc.b_unit
-            )
+        def _build_host():
+            f_table, k2_table = cache.jnu_tables()
+            hc = cache.hotcross_table()
+            # All init-time table construction runs on the host CPU backend
+            # (native f64, no remote compiles), mirroring the reference's
+            # host-side init; only the results ship to the accelerator.
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                prims = jnp.asarray(self.model.data.stacked())
+                zone_x, g_cov_z, g_con_z, g_det_z = fluid.precompute_zone_geometry(self.mc)
+                fluid_zone = fluid.get_fluid_zone(prims, g_cov_z, g_con_z, self.mc)
+                f_t = jnp.asarray(f_table)
+                k2_t = jnp.asarray(k2_table)
+                weights = emission.weight_table(
+                    fluid_zone, g_det_z, self.mc, photon_n, f_t, k2_t
+                )
+                nint_t, dndmax_t = emission.nint_table(weights, self.mc, f_t)
+                nz, dn_max = emission.zone_budgets(
+                    fluid_zone, g_det_z, nint_t, dndmax_t, k2_t, photon_n
+                )
+                e_con_z, e_cov_z = emission.zone_tetrads(
+                    fluid_zone, g_cov_z, self.mc.b_unit
+                )
+            return {
+                "prims": np.asarray(prims),
+                "g_det_z": np.asarray(g_det_z),
+                "f_t": np.asarray(f_t),
+                "k2_t": np.asarray(k2_t),
+                "hc": np.asarray(hc),
+                "weights": np.asarray(weights),
+                "zone_x": np.asarray(zone_x),
+                "g_cov_z": np.asarray(g_cov_z),
+                "g_con_z": np.asarray(g_con_z),
+                "fz_ne": np.asarray(fluid_zone.n_e),
+                "fz_te": np.asarray(fluid_zone.theta_e),
+                "fz_b": np.asarray(fluid_zone.b),
+                "fz_ucon": np.asarray(fluid_zone.u_con),
+                "fz_ucov": np.asarray(fluid_zone.u_cov),
+                "fz_bcon": np.asarray(fluid_zone.b_con),
+                "fz_bcov": np.asarray(fluid_zone.b_cov),
+                "dn_max": np.asarray(dn_max),
+                "e_con_z": np.asarray(e_con_z),
+                "e_cov_z": np.asarray(e_cov_z),
+                "nz": np.asarray(nz),
+            }
 
-        # Everything device-resident is also kept as host numpy so a device
-        # fault can rebuild the backend and continue from a snapshot.
-        self._host = {
-            "prims": np.asarray(prims),
-            "g_det_z": np.asarray(g_det_z),
-            "f_t": np.asarray(f_t),
-            "k2_t": np.asarray(k2_t),
-            "hc": np.asarray(hc),
-            "weights": np.asarray(weights),
-            "zone_x": np.asarray(zone_x),
-            "g_cov_z": np.asarray(g_cov_z),
-            "g_con_z": np.asarray(g_con_z),
-            "fluid_zone": jax.tree.map(np.asarray, fluid_zone),
-            "dn_max": np.asarray(dn_max),
-            "e_con_z": np.asarray(e_con_z),
-            "e_cov_z": np.asarray(e_cov_z),
-        }
-        self.nz = np.asarray(nz)
+        # The per-dump init products are pure functions of (dump, mass_unit,
+        # photon_n, consts); disk-cache them so repeated runs skip ~1 min of
+        # host-side table construction.  Everything is kept as host numpy so
+        # a device fault can rebuild the backend from it (see _recover).
+        host = cache.dump_init(dump_path, mass_unit, photon_n, _build_host)
+        self.nz = host.pop("nz")
+        host["fluid_zone"] = fluid.FluidState(
+            n_e=host.pop("fz_ne"), theta_e=host.pop("fz_te"), b=host.pop("fz_b"),
+            u_con=host.pop("fz_ucon"), u_cov=host.pop("fz_ucov"),
+            b_con=host.pop("fz_bcon"), b_cov=host.pop("fz_bcov"),
+        )
+        self._host = host
 
         self.key = random.PRNGKey(seed)
         # Main engine exits each wave once the backlog is drained and only a

@@ -57,3 +57,23 @@ def jnu_tables() -> tuple:
     j = consts.jnu
     key = _key(j.MIN_K, j.MAX_K, j.MIN_T, j.MAX_T, consts.N_E_SAMP, j.EPS_REL)
     return _cached("jnu", key, jnu.build_tables)
+
+
+def dump_init(dump_path, mass_unit, photon_n, builder):
+    """Cache the per-dump init products (weight/nint/budget tables, zone
+    geometry/tetrads) keyed on the dump content hash and run parameters."""
+    h = hashlib.sha256()
+    with open(dump_path, "rb") as f:
+        h.update(f.read())
+    h.update(repr((mass_unit, photon_n, consts.NU_MIN, consts.NU_MAX,
+                   consts.N_E_SAMP, consts.NINT)).encode())
+    key = h.hexdigest()[:12]
+    path = os.path.join(DATA_DIR, f"dumpinit_{key}.npz")
+    if os.path.exists(path):
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+    log.info("Building per-dump init tables (cached to %s)", path)
+    host = builder()
+    os.makedirs(DATA_DIR, exist_ok=True)
+    np.savez(path, **host)
+    return dict(host)
