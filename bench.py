@@ -63,7 +63,7 @@ def main():
         sec_cap=4 * pool,
         stall_steps=stall,
         dtype=dtype,
-        fp_iters=int(os.environ.get("BENCH_FP_ITERS", "4")),
+        fp_iters=int(os.environ.get("BENCH_FP_ITERS", "2")),
     )
     dump = find_dump()
     sim = driver.Simulation(
@@ -83,6 +83,8 @@ def main():
         "value": round(rate, 1),
         "unit": "ph/s",
         "vs_baseline": round(rate / REFERENCE_RATE, 3),
+        "steps_per_photon": round(stats.get("steps_per_photon", 0.0), 1),
+        "n_recorded": stats["n_recorded"],
     }))
 
 

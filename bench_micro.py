@@ -45,8 +45,11 @@ def main():
         torus.write_torus_dump(dump, n1=256, n2=256)
 
     cfg = engine.EngineConfig(
-        n_pool=pool, m_period=32, sec_cap=4 * pool, stall_steps=150000,
-        dtype=dtype, fp_iters=4,
+        n_pool=pool, m_period=int(os.environ.get("MICRO_PERIOD", "32")),
+        sec_cap=4 * pool, stall_steps=150000,
+        dtype=dtype, fp_iters=int(os.environ.get("MICRO_FP_ITERS", "2")),
+        interp_geom=os.environ.get("MICRO_INTERP", "0") == "1",
+        dbg_skip=os.environ.get("MICRO_SKIP", ""),
     )
     sim = driver.Simulation(dump, photon_n=200_000, mass_unit=4e19,
                             config=cfg, emit_chunk=pool * 2)

@@ -173,6 +173,148 @@ def make_corner_table(prims, n1, n2):
     return np.concatenate([c00, c01, c10, c11], axis=1)  # (Z, 32)
 
 
+GEOM_WIDTH = 51  # per-zone geometry row: conn(40) + fluid(11)
+GEOM_STENCIL = 9  # 3x3 zone-center stencil packed per gatherable row
+GEOM_POLE_COMPS = (32, 35, 38)  # cot(theta)-divergent connection components,
+# stored pre-multiplied by sin(theta) (see make_geom_table)
+
+
+def make_geom_table(mc, fluid_zone):
+    """Per-zone geometry+fluid rows for the gather-everything hot loop.
+
+    TPU rationale: a dynamic row gather at 64k lanes costs ~0.5 ns/index
+    nearly independent of row width (tools/probe_gather.py), so the
+    transport hot loop fetches EVERYTHING position-dependent in one gather:
+    the 40 affine-connection components and the derived fluid state are
+    smooth functions of (x1, x2), precomputed here at every zone center,
+    replacing the per-segment closed-form Christoffel evaluation (~200
+    flops + sin/cos/exp per lane, harm_model.cpp:1436-1569) and the
+    u^mu/b^mu reconstruction (harm_model.cpp:560-593) with FMA blends.
+
+    Interpolation orders (see :func:`blend_geom_rows`): the connection is
+    blended *biquadratically* (3x3 stencil, O(dx^3) error — bilinear noise
+    on coarse grids measurably bends geodesics), the fluid state
+    *bilinearly* from the same stencil (matching the reference's
+    interpolation order for fluid quantities, harm_model.cpp:1646-1656).
+    Deviation from the reference (analytic geometry at the photon position;
+    four-vectors reconstructed from interpolated primitives): residuals are
+    second/third order in the grid spacing and sit below the integrator's
+    truncation error at STEP_EPS = 0.04 on production-size (256^2) grids;
+    accuracy is pinned by tests/test_fluid.py::test_geom_blend_accuracy.
+
+    Layout per zone z (float64, cast by the engine):
+      [0:40)  connection 40-tuple at the zone center (geometry.connection_c)
+      [40]    n_e   [41] theta_e   [42] |B| [gauss]
+      [43:47) u_cov  [47:51) b_cov
+    Returns the UNPACKED (n1*n2, 51) table; pack with :func:`pack_geom9`.
+    Pure jnp (jit-friendly): the driver builds it inside the one jitted
+    init-products function on the host CPU backend.
+    """
+    z = mc.n1 * mc.n2
+    ii, jj = jnp.meshgrid(
+        jnp.arange(mc.n1, dtype=jnp.float64),
+        jnp.arange(mc.n2, dtype=jnp.float64),
+        indexing="ij",
+    )
+    x1 = mc.x_start[1] + (ii.reshape(z) + 0.5) * mc.dx[1]
+    x2 = mc.x_start[2] + (jj.reshape(z) + 0.5) * mc.dx[2]
+    conn = list(geometry.connection_c(x1, x2, mc.a, mc.h_slope))
+
+    # Pole regularization: components 32 (c302), 35 (c312), 38 (c323)
+    # diverge as cot(theta); store them multiplied by sin(theta) — a smooth
+    # field — and divide by the analytic sin(theta) at blend time.
+    th = jnp.pi * x2 + 0.5 * (1.0 - mc.h_slope) * jnp.sin(2.0 * jnp.pi * x2)
+    sth = jnp.sin(th)
+    for m in GEOM_POLE_COMPS:
+        conn[m] = conn[m] * sth
+
+    fz = fluid_zone
+    flat = lambda a: jnp.asarray(a, jnp.float64).reshape(z, -1)
+    p = jnp.concatenate(
+        [jnp.stack([jnp.broadcast_to(c, (z,)) for c in conn], axis=1),
+         flat(fz.n_e), flat(fz.theta_e), flat(fz.b), flat(fz.u_cov),
+         flat(fz.b_cov)],
+        axis=1,
+    )  # (Z, 51)
+    assert p.shape[1] == GEOM_WIDTH
+    return p
+
+
+def pack_geom9(table, n1, n2):
+    """Pack the (n1*n2, 51) table into 3x3-stencil rows (n1*n2, 459).
+
+    Row z holds the 51-wide entries of the 9 zones (i+di, j+dj) for
+    di, dj in row-major {-1,0,1}^2, edge-clamped (the stencil centre is
+    clamped to the interior in :func:`blend_geom_rows`, so clamped entries
+    are only reachable as unused zero-weight corners).
+    """
+    import numpy as np
+
+    t = np.asarray(table).reshape(n1, n2, GEOM_WIDTH)
+    blocks = []
+    for di in (-1, 0, 1):
+        i = np.clip(np.arange(n1) + di, 0, n1 - 1)
+        for dj in (-1, 0, 1):
+            j = np.clip(np.arange(n2) + dj, 0, n2 - 1)
+            blocks.append(t[i[:, None], j[None, :], :])
+    out = np.concatenate(blocks, axis=-1)  # (n1, n2, 459)
+    return out.reshape(n1 * n2, GEOM_STENCIL * GEOM_WIDTH)
+
+
+def blend_geom_rows(geom9, x1, x2, mc):
+    """Stencil blend of the packed geometry table at (x1, x2).
+
+    The transport hot loop's single dynamic gather: one (N,) row gather of
+    the 3x3-stencil table (:func:`pack_geom9`), then two FMA blends —
+    biquadratic axis weights for the connection block (O(dx^3)), linear hat
+    weights for the fluid block (bilinear, the reference's order for fluid
+    interpolation).  Returns (conn (40, N), flu (11, N), inside mask).
+    """
+    inside = (
+        (x1 >= mc.x_start[1]) & (x1 <= mc.x_stop[1])
+        & (x2 >= mc.x_start[2]) & (x2 <= mc.x_stop[2])
+    )
+    dt = x1.dtype
+    fi = (x1 - mc.x_start[1]) / mc.dx[1] - 0.5  # zone-center coordinates
+    fj = (x2 - mc.x_start[2]) / mc.dx[2] - 0.5
+    i0 = jnp.clip(jnp.round(fi).astype(jnp.int32), 1, mc.n1 - 2)
+    j0 = jnp.clip(jnp.round(fj).astype(jnp.int32), 1, mc.n2 - 2)
+    ti = jnp.asarray(fi, dt) - i0.astype(dt)  # |t| <= 0.5 in the interior
+    tj = jnp.asarray(fj, dt) - j0.astype(dt)
+
+    def axis_weights(t):
+        # quadratic (Lagrange on -1, 0, +1) and linear-hat weight triples
+        q = (0.5 * t * (t - 1.0), 1.0 - t * t, 0.5 * t * (t + 1.0))
+        lin = (jnp.maximum(-t, 0.0), jnp.maximum(1.0 - jnp.abs(t), 0.0),
+               jnp.maximum(t, 0.0))
+        return q, lin
+
+    qi, li = axis_weights(ti)
+    qj, lj = axis_weights(tj)
+
+    rows = geom9[i0 * mc.n2 + j0]  # (N, 459): THE gather
+    conn = None
+    flu = None
+    for a in range(3):
+        for b in range(3):
+            blk = rows[:, (3 * a + b) * GEOM_WIDTH : (3 * a + b + 1) * GEOM_WIDTH]
+            wq = (qi[a] * qj[b])[:, None]
+            wl = (li[a] * lj[b])[:, None]
+            c = blk[:, :40] * wq
+            f = blk[:, 40:] * wl
+            conn = c if conn is None else conn + c
+            flu = f if flu is None else flu + f
+    # components into the sublane dim (one relayout each)
+    conn = conn.T
+    flu = flu.T
+    # undo the pole regularization (see make_geom_table)
+    th = jnp.pi * x2 + 0.5 * (1.0 - mc.h_slope) * jnp.sin(2.0 * jnp.pi * x2)
+    inv_sth = 1.0 / (jnp.sin(th) + jnp.asarray(1e-30, dt))
+    for m in GEOM_POLE_COMPS:
+        conn = conn.at[m].multiply(inv_sth)
+    return conn, flu, inside
+
+
 def _four_vectors_c(v1, v2, v3, b1, b2, b3, g7, gc6, mc):
     """Component-form u^mu / b^mu reconstruction (harm_model.cpp:560-593)."""
     g00, g01, g03, g11, g13, g22, g33 = g7

@@ -129,6 +129,8 @@ class ShardedSimulation(driver_mod.Simulation):
                 max_tau_scatt=jnp.max(counters.max_tau_scatt),
                 n_created=jnp.sum(counters.n_created),
                 n_sec_drop=jnp.sum(counters.n_sec_drop),
+                n_retired=jnp.sum(counters.n_retired),
+                n_steps_retired=jnp.sum(counters.n_steps_retired),
             )
 
         self._reduce = _reduce

@@ -81,48 +81,59 @@ class Simulation:
         def _build_host():
             f_table, k2_table = cache.jnu_tables()
             hc = cache.hotcross_table()
-            # All init-time table construction runs on the host CPU backend
-            # (native f64, no remote compiles), mirroring the reference's
-            # host-side init; only the results ship to the accelerator.
+            # All init-time table construction runs as ONE jitted function on
+            # the host CPU backend (native f64, no remote compiles; eager
+            # op-by-op dispatch of the same math costs minutes on big grids),
+            # mirroring the reference's host-side init; only the results
+            # ship to the accelerator.
             cpu = jax.devices("cpu")[0]
-            with jax.default_device(cpu):
-                prims = jnp.asarray(self.model.data.stacked())
-                zone_x, g_cov_z, g_con_z, g_det_z = fluid.precompute_zone_geometry(self.mc)
-                fluid_zone = fluid.get_fluid_zone(prims, g_cov_z, g_con_z, self.mc)
-                f_t = jnp.asarray(f_table)
-                k2_t = jnp.asarray(k2_table)
+            mc = self.mc
+
+            def build(prims, f_t, k2_t):
+                zone_x, g_cov_z, g_con_z, g_det_z = fluid.precompute_zone_geometry(mc)
+                fluid_zone = fluid.get_fluid_zone(prims, g_cov_z, g_con_z, mc)
                 weights = emission.weight_table(
-                    fluid_zone, g_det_z, self.mc, photon_n, f_t, k2_t
+                    fluid_zone, g_det_z, mc, photon_n, f_t, k2_t
                 )
-                nint_t, dndmax_t = emission.nint_table(weights, self.mc, f_t)
+                nint_t, dndmax_t = emission.nint_table(weights, mc, f_t)
                 nz, dn_max = emission.zone_budgets(
                     fluid_zone, g_det_z, nint_t, dndmax_t, k2_t, photon_n
                 )
                 e_con_z, e_cov_z = emission.zone_tetrads(
-                    fluid_zone, g_cov_z, self.mc.b_unit
+                    fluid_zone, g_cov_z, mc.b_unit
                 )
-            return {
-                "prims": np.asarray(prims),
-                "g_det_z": np.asarray(g_det_z),
-                "f_t": np.asarray(f_t),
-                "k2_t": np.asarray(k2_t),
-                "hc": np.asarray(hc),
-                "weights": np.asarray(weights),
-                "zone_x": np.asarray(zone_x),
-                "g_cov_z": np.asarray(g_cov_z),
-                "g_con_z": np.asarray(g_con_z),
-                "fz_ne": np.asarray(fluid_zone.n_e),
-                "fz_te": np.asarray(fluid_zone.theta_e),
-                "fz_b": np.asarray(fluid_zone.b),
-                "fz_ucon": np.asarray(fluid_zone.u_con),
-                "fz_ucov": np.asarray(fluid_zone.u_cov),
-                "fz_bcon": np.asarray(fluid_zone.b_con),
-                "fz_bcov": np.asarray(fluid_zone.b_cov),
-                "dn_max": np.asarray(dn_max),
-                "e_con_z": np.asarray(e_con_z),
-                "e_cov_z": np.asarray(e_cov_z),
-                "nz": np.asarray(nz),
-            }
+                geom = fluid.make_geom_table(mc, fluid_zone)
+                return {
+                    "geom": geom.astype(jnp.float32),
+                    "g_det_z": g_det_z,
+                    "weights": weights,
+                    "zone_x": zone_x,
+                    "g_cov_z": g_cov_z,
+                    "g_con_z": g_con_z,
+                    "fz_ne": fluid_zone.n_e,
+                    "fz_te": fluid_zone.theta_e,
+                    "fz_b": fluid_zone.b,
+                    "fz_ucon": fluid_zone.u_con,
+                    "fz_ucov": fluid_zone.u_cov,
+                    "fz_bcon": fluid_zone.b_con,
+                    "fz_bcov": fluid_zone.b_cov,
+                    "dn_max": dn_max,
+                    "e_con_z": e_con_z,
+                    "e_cov_z": e_cov_z,
+                    "nz": nz,
+                }
+
+            prims = np.asarray(self.model.data.stacked())
+            with jax.default_device(cpu):
+                out = jax.jit(build)(
+                    jax.device_put(prims, cpu),
+                    jax.device_put(np.asarray(f_table), cpu),
+                    jax.device_put(np.asarray(k2_table), cpu),
+                )
+            host = {k: np.asarray(v) for k, v in out.items()}
+            host.update(prims=prims, f_t=np.asarray(f_table),
+                        k2_t=np.asarray(k2_table), hc=np.asarray(hc))
+            return host
 
         # The per-dump init products are pure functions of (dump, mass_unit,
         # photon_n, consts); disk-cache them so repeated runs skip ~1 min of
@@ -168,6 +179,11 @@ class Simulation:
         put = jax.device_put
         self.prims = put(h["prims"])
         self.g_det_z = put(h["g_det_z"])
+        if self.cfg.interp_geom:
+            geom9 = fluid.pack_geom9(h["geom"], self.mc.n1, self.mc.n2)
+            self.geom = put(np.asarray(geom9, np.dtype(self.cfg.dtype)))
+        else:
+            self.geom = None
         self.tables = engine_mod.Tables(
             f_table=put(h["f_t"]), k2_table=put(h["k2_t"]),
             hotcross=put(h["hc"]), weights=put(h["weights"]),
@@ -192,7 +208,8 @@ class Simulation:
             tail_exit=self._wave_tail_exit,
             max_outer=min(self.cfg.max_outer, self._slice_iters),
         )
-        self.engine = engine_mod.make_engine(self.mc, self.tables, self.prims, wave_cfg)
+        self.engine = engine_mod.make_engine(self.mc, self.tables, self.prims,
+                                             wave_cfg, geom_rows=self.geom)
         self._run_jit = jax.jit(self.engine["run"])  # donation disabled: faults the axon TPU runtime
         self._tail_engines = {}  # rebuilt lazily (per pool size)
         # Sampler runs on CPU (f64) regardless of the engine dtype; inputs
@@ -344,7 +361,8 @@ class Simulation:
                 n_pool=n_pool, tail_exit=exit_occ, m_period=64,
                 max_outer=min(self.cfg.max_outer, 64 * self._slice_iters),
             )
-            eng = engine_mod.make_engine(self.mc, self.tables, self.prims, cfg)
+            eng = engine_mod.make_engine(self.mc, self.tables, self.prims, cfg,
+                                         geom_rows=self.geom)
             self._tail_engines[key] = (eng, jax.jit(eng["run"]))
         return self._tail_engines[key]
 
@@ -478,6 +496,8 @@ class Simulation:
             "n_secondary_dropped": int(counters.n_sec_drop),
             "elapsed_s": elapsed,
             "photon_rate": plan.total / max(elapsed, 1e-9),
+            "steps_per_photon": float(counters.n_steps_retired)
+            / max(float(counters.n_retired), 1.0),
         }
         log.info("Final rate %.2f ph/s", stats["photon_rate"])
         log.info("Super photons: created %d, recorded %d",

@@ -9,14 +9,19 @@ pipeline ``super_photon.cu:505-1037``):
 * **Layout**: 4-vectors are stored (4, N) and all physics runs on separate
   (N,) component arrays — on TPU the vector-lane dimension is the last axis,
   so the (N, 4)/(N, 4, 10) layouts of a naive port waste >95% of the VPU.
-* **One gather per step**: TPU gathers cost ~9 ns per index (they dominated
-  round 1 at ~6-10 gathers/step).  The bilinear fluid stencil is packed into
-  128-byte rows gathered once per step (``fluid.make_corner_table``); the
-  hotcross/K2 table lookups are replaced by Chebyshev surrogates
-  (``ops/cheb.py``) that evaluate as pure FMA chains / small MXU matmuls.
-* Every iteration does one geodesic step (implicit midpoint with a bounded
-  per-lane halving stack — the iterative shape of ``super_photon.cu:1826``)
-  plus the trapezoid opacity/scatter-decision update for all live lanes.
+* **One gather per step, carrying everything**: each iteration does ONE
+  dynamic row gather (~0.5 ns/index at 64k lanes, tools/probe_gather.py) of
+  a 3x3-stencil table that carries the affine connection AND the derived
+  fluid state (``fluid.make_geom_table``), so the hot loop has no
+  closed-form Christoffels and no second fluid gather; the hotcross/K2
+  table lookups are Chebyshev surrogates (``ops/cheb.py``) that evaluate as
+  FMA chains / small MXU matmuls.
+* Every iteration makes exactly one implicit-midpoint attempt per lane; the
+  reference's recursive step halving (``harm_model.cpp:1217-1289``) becomes
+  a persistent per-lane ``dl_shrink`` retry (see :func:`push_once`) so a
+  single misbehaving lane never forces batch-wide extra geometry rounds.
+  The trapezoid opacity/scatter-decision update runs for lanes that
+  advanced.
 * Scattering is deferred: a lane that draws a scatter event rolls back to
   its pre-step state, re-pushes by ``frac*dl``, then idles until the
   periodic phase (every ``m_period`` iterations) runs the event kinematics
@@ -76,6 +81,18 @@ class EngineConfig(typing.NamedTuple):
     #   this many lanes remain occupied (they carry over to the next wave)
     stall_steps: int = consts.MAX_N_STEP  # per-photon step cap (reference value)
     fp_iters: int = consts.MAX_ITER  # implicit-midpoint fixed-point iterations
+    interp_geom: bool = False  # EXPERIMENTAL gather-everything hot loop: the
+    #   connection (biquadratic) and derived fluid state (bilinear) come from
+    #   ONE 3x3-stencil row gather per geodesic attempt
+    #   (fluid.make_geom_table) instead of closed-form Christoffels + a
+    #   separate fluid gather per step; the conserved-energy metric row stays
+    #   analytic.  Measured on a real v5e chip (bench_micro, pool=65536,
+    #   f32): LOSES to the analytic path — 4.68 ms/iter with 22% of lanes
+    #   stuck in shrink-retry (the interpolated connection is inconsistent
+    #   with the analytic energy row, tripping the drift test) vs 0.76
+    #   ms/iter and ~0.1% retrying analytically.  Kept as a tested option
+    #   because the trade flips if the drift test is also interpolated;
+    #   default stays analytic.
     ref_err_metric: bool = False  # fixed-point convergence test for halving:
     #   False (default): sum_i |dk_i| / (sum_i |k_i|) — scale-invariant and
     #     zero-crossing-safe.  The reference's per-component relative error
@@ -124,7 +141,8 @@ class Pool(typing.NamedTuple):
     alpha_scatti: jnp.ndarray
     alpha_absi: jnp.ndarray
     bi: jnp.ndarray
-    pend_dl: jnp.ndarray  # partial re-push length for a decided scatter
+    pend_dl: jnp.ndarray  # remaining re-push length for a decided scatter
+    dl_shrink: jnp.ndarray  # per-lane adaptive step shrink in [2^-7, 1]
     sec_w: jnp.ndarray  # secondary weight frozen at decision time
     n_scatt: jnp.ndarray  # int32
     n_step: jnp.ndarray  # int32
@@ -149,6 +167,8 @@ class Counters(typing.NamedTuple):
     max_tau_scatt: jnp.ndarray  # float: running max over recorded photons
     n_created: jnp.ndarray  # int64: primaries consumed from the backlog
     n_sec_drop: jnp.ndarray  # int64: secondaries lost to buffer overflow
+    n_retired: jnp.ndarray  # int64: lanes retired (recorded or died)
+    n_steps_retired: jnp.ndarray  # int64: sum of n_step over retired lanes
 
 
 class State(typing.NamedTuple):
@@ -170,7 +190,7 @@ def empty_pool(n, dtype):
         x=z4(), k=z4(), dkdlam=z4(), w=z(), e=z(), l=z(), x1i=z(), x2i=z(),
         tau_abs=z(), tau_scatt=z(), n_e_0=z(), theta_e_0=z(), b_0=z(), e_0=z(),
         e_0_s=z(), alpha_scatti=z(), alpha_absi=z(), bi=z(), pend_dl=z(),
-        sec_w=z(), n_scatt=zi(), n_step=zi(),
+        dl_shrink=jnp.ones((n,), dtype), sec_w=z(), n_scatt=zi(), n_step=zi(),
         occupied=zb(), alive=zb(), interacting=zb(), pend_push=zb(),
         at_event=zb(), record_pending=zb(),
     )
@@ -187,6 +207,7 @@ def init_counters(max_tau_scatt_init, dtype):
         n_recorded=zi(), n_scatt_rec=zi(),
         max_tau_scatt=jnp.asarray(max_tau_scatt_init, dtype),
         n_created=zi(), n_sec_drop=zi(),
+        n_retired=zi(), n_steps_retired=zi(),
     )
 
 
@@ -204,15 +225,23 @@ def pack_rows(b: emission.InitPhotons, dtype) -> np.ndarray:
     return np.stack(cols, axis=1).astype(np.dtype(dtype))
 
 
-def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig):
+def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
+                geom_rows=None):
     """Build the jitted transport step functions for one dump.
 
-    ``prims``: (8, n1, n2) primitives on device.  Returns a dict of
-    functions; ``run(state, backlog_rows)`` drives the while_loop until the
-    iteration budget or completion.  ``backlog_rows``: (T, 16) packed rows
+    ``prims``: (8, n1, n2) primitives on device.  ``geom_rows``: the
+    (n1*n2, 459) stencil-packed geometry table (:func:`fluid.pack_geom9`
+    over :func:`fluid.make_geom_table`), required when ``cfg.interp_geom``.
+    Returns a dict of functions;
+    ``run(state, backlog_rows)`` drives the while_loop until the iteration
+    budget or completion.  ``backlog_rows``: (T, 16) packed rows
     (see :func:`pack_rows`).
     """
     dt = cfg.dtype
+    if cfg.interp_geom and geom_rows is None:
+        raise ValueError("interp_geom engine needs the fluid.make_geom_table rows")
+    if cfg.interp_geom:
+        geom_rows = jnp.asarray(geom_rows, dt)
     dbg = frozenset(s for s in cfg.dbg_skip.split(",") if s)
     a, hs, r0 = mc.a, mc.h_slope, mc.r_0
     x2_stop = mc.x_stop[2]
@@ -269,98 +298,151 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
     # ------------------------------------------------------------------
     # geodesic push: one full step with a bounded halving stack per lane
     # (harm_model.cpp:1217-1289; iterative form super_photon.cu:1826-1929)
+    #
+    # interp_geom mode: each segment round does ONE bilinear row gather at
+    # the predicted end position; the gathered row carries the connection,
+    # the energy-check metric row AND the derived fluid state, so the whole
+    # hot iteration has no closed-form geometry and no second gather.  The
+    # fluid state at the finally-committed position rides out of the loop
+    # as an 11-component carry for the interaction phase.
     # ------------------------------------------------------------------
-    def push_c(x, k, dkdlam, e_0_s, dl, active):
-        """Component-form push; x/k/dkdlam are 4-tuples of (N,) arrays."""
-        n = e_0_s.shape[0]
-        cols = jnp.arange(8, dtype=jnp.int32)[:, None]  # (8, 1) stack rows
-        stack = jnp.zeros((8, n), jnp.int32)
-        sp = jnp.where(active, 1, 0).astype(jnp.int32)
-
-        # The reference freezes photons with x1 < x_start1 (horizon plunge).
-        frozen = x[1] < mc.x_start[1]
-        sp = jnp.where(frozen, 0, sp)
-
-        def seg_body(s):
-            x, k, dk, e0s, stack, sp, failed, it = s
-            act = sp > 0
-            # One-hot stack ops: (8, N) masked math, no gathers.
-            top = cols == (sp - 1)[None, :]
-            depth = jnp.sum(jnp.where(top, stack, 0), axis=0, dtype=jnp.int32)
-            seg_dl = dl * jnp.exp2(-depth.astype(dt))
-
-            dl_2 = 0.5 * seg_dl
-            # half-step predictor (harm_model.cpp:1233-1238)
-            k_half = tuple(kk + dd * dl_2 for kk, dd in zip(k, dk))
-            k_pred = tuple(kh + dd * dl_2 for kh, dd in zip(k_half, dk))
-            x_new = tuple(xx + kh * seg_dl for xx, kh in zip(x, k_half))
-
-            conn = geometry.connection_c(x_new[1], x_new[2], a, hs)
-
-            # Fixed-point iterations, unrolled.
-            err = jnp.zeros_like(e0s)
-            dk_new = dk
-            for _ in range(cfg.fp_iters):
-                dk_new = geometry.geodesic_rhs_c(conn, *k_pred)
-                k_next = tuple(kh + dl_2 * dd for kh, dd in zip(k_half, dk_new))
-                if cfg.ref_err_metric:
-                    err = sum(
-                        jnp.abs((kp - kn) / (kn + consts.EPS))
-                        for kp, kn in zip(k_pred, k_next)
-                    )
-                else:
-                    kscale = sum(jnp.abs(kn) for kn in k_next) + consts.EPS
-                    err = sum(
-                        jnp.abs(kp - kn) for kp, kn in zip(k_pred, k_next)
-                    ) / kscale
-                k_pred = k_next
-            k_new = k_pred
-
-            g00, g01, g03 = geometry.gcov_row0_c(x_new[1], x_new[2], a, hs, r0)
-            e_1 = -(k_new[0] * g00 + k_new[1] * g01 + k_new[3] * g03)
-            err_e = jnp.abs((e_1 - e0s) / (e0s + consts.EPS))
-
-            bad = (err_e > consts.E_DRIFT_TOL) | (err > consts.E_TOL) | ~jnp.isfinite(err)
-            can_split = depth < consts.MAX_HALVING_DEPTH
-            fail = act & bad & can_split
-            commit = act & ~fail
-
-            # commit: advance state, pop the segment
-            x = tuple(jnp.where(commit, xn, xx) for xn, xx in zip(x_new, x))
-            k = tuple(jnp.where(commit, kn, kk) for kn, kk in zip(k_new, k))
-            dk = tuple(jnp.where(commit, dn, dd) for dn, dd in zip(dk_new, dk))
-            e0s = jnp.where(commit, e_1, e0s)
-            sp_new = jnp.where(commit, sp - 1, sp)
-
-            # fail: replace the top with two half segments (depth + 1):
-            # write depth+1 at rows sp-1 and sp via one-hot select.
-            nxt = cols == sp[None, :]
-            write = fail[None, :] & (top | nxt)
-            stack = jnp.where(write, (depth + 1)[None, :], stack)
-            sp_new = jnp.where(fail, jnp.minimum(sp + 1, 8), sp_new)
-
-            return x, k, dk, e0s, stack, sp_new, failed | fail, it + 1
-
-        def seg_cond(s):
-            return jnp.any(s[5] > 0) & (s[7] < cfg.max_inner)
-
-        x, k, dkdlam, e_0_s, _, _, failed, rounds = lax.while_loop(
-            seg_cond,
-            seg_body,
-            (x, k, dkdlam, e_0_s, stack, sp, jnp.zeros_like(active), jnp.int32(0)),
+    def blend_geom(x1n, x2n):
+        """(conn40, fl11) stencil-blended at (x1n, x2n)."""
+        conn, flu, inside = fluid.blend_geom_rows(geom_rows, x1n, x2n, mc)
+        flc = fluid.FluidC(
+            n_e=jnp.where(inside, flu[0], 0.0),
+            theta_e=flu[1],
+            b=flu[2],
+            u_con=None,  # not needed in the hot loop
+            u_cov=(flu[3], flu[4], flu[5], flu[6]),
+            b_con=None,
+            b_cov=(flu[7], flu[8], flu[9], flu[10]),
         )
-        return x, k, dkdlam, e_0_s, failed, rounds
+        return tuple(conn[m] for m in range(40)), flc
 
-    def push_batch(x, k, dkdlam, e_0_s, dl, active):
-        """Array-facade push for tests/oracle parity: (N, 4) in/out."""
-        xc, kc, dkc, e0s, failed, _ = push_c(
-            tuple(x[:, i] for i in range(4)),
-            tuple(k[:, i] for i in range(4)),
-            tuple(dkdlam[:, i] for i in range(4)),
-            e_0_s, dl, active,
+    def _zero_flc(n):
+        z = lambda: jnp.zeros((n,), dt)
+        return fluid.FluidC(n_e=z(), theta_e=z(), b=z(), u_con=None,
+                            u_cov=(z(), z(), z(), z()), b_con=None,
+                            b_cov=(z(), z(), z(), z()))
+
+    def _flc_where(m, new, old):
+        pick = lambda a, b: jnp.where(m, a, b)
+        return fluid.FluidC(
+            n_e=pick(new.n_e, old.n_e), theta_e=pick(new.theta_e, old.theta_e),
+            b=pick(new.b, old.b), u_con=None,
+            u_cov=tuple(pick(a, b) for a, b in zip(new.u_cov, old.u_cov)),
+            b_con=None,
+            b_cov=tuple(pick(a, b) for a, b in zip(new.b_cov, old.b_cov)),
+        )
+
+    SHRINK_FLOOR = float(2.0 ** (-consts.MAX_HALVING_DEPTH))
+
+    def push_once(x, k, dkdlam, e_0_s, seg_dl, active, at_floor):
+        """ONE implicit-midpoint attempt over ``seg_dl`` per lane.
+
+        Lockstep redesign of the reference's recursive step halving
+        (harm_model.cpp:1217-1289): instead of an inner subdivision loop —
+        whose round count is a batch *max*, so one misbehaving lane out of
+        65k forces full-width geometry rounds on everyone — each lane makes
+        exactly one attempt per hot iteration.  A lane whose error test
+        fails simply does not advance this iteration; its persistent
+        ``dl_shrink`` halves and it retries next iteration (the accepted
+        sub-segment sequence is a valid adaptive discretisation of the same
+        geodesic, guarded by the same two error tests).  At the shrink
+        floor (2^-MAX_HALVING_DEPTH) the attempt commits unconditionally,
+        exactly like the reference at its recursion-depth cap.
+
+        Returns (x, k, dk, e0s, commit, flc).
+        """
+        dl_2 = 0.5 * seg_dl
+        # half-step predictor (harm_model.cpp:1233-1238)
+        k_half = tuple(kk + dd * dl_2 for kk, dd in zip(k, dkdlam))
+        k_pred = tuple(kh + dd * dl_2 for kh, dd in zip(k_half, dkdlam))
+        x_new = tuple(xx + kh * seg_dl for xx, kh in zip(x, k_half))
+
+        if cfg.interp_geom:
+            conn, fl_new = blend_geom(x_new[1], x_new[2])
+        else:
+            conn = geometry.connection_c(x_new[1], x_new[2], a, hs)
+            fl_new = _zero_flc(e_0_s.shape[0])
+        # The conserved-energy row stays analytic even in interp_geom mode:
+        # e_0_s is a running conservation ledger, and bilinear noise in g_0mu
+        # would random-walk it across thousands of steps (and trip the
+        # halving test).  Three transcendentals per iteration buy an exact
+        # ledger; the trajectory itself only feels the (second-order) conn
+        # interpolation error.
+        row0 = geometry.gcov_row0_c(x_new[1], x_new[2], a, hs, r0)
+
+        # Fixed-point iterations, unrolled.
+        err = jnp.zeros_like(e_0_s)
+        dk_new = dkdlam
+        for _ in range(cfg.fp_iters):
+            dk_new = geometry.geodesic_rhs_c(conn, *k_pred)
+            k_next = tuple(kh + dl_2 * dd for kh, dd in zip(k_half, dk_new))
+            if cfg.ref_err_metric:
+                err = sum(
+                    jnp.abs((kp - kn) / (kn + consts.EPS))
+                    for kp, kn in zip(k_pred, k_next)
+                )
+            else:
+                kscale = sum(jnp.abs(kn) for kn in k_next) + consts.EPS
+                err = sum(
+                    jnp.abs(kp - kn) for kp, kn in zip(k_pred, k_next)
+                ) / kscale
+            k_pred = k_next
+        k_new = k_pred
+
+        g00, g01, g03 = row0
+        e_1 = -(k_new[0] * g00 + k_new[1] * g01 + k_new[3] * g03)
+        err_e = jnp.abs((e_1 - e_0_s) / (e_0_s + consts.EPS))
+
+        bad = (err_e > consts.E_DRIFT_TOL) | (err > consts.E_TOL) | ~jnp.isfinite(err)
+        commit = active & (~bad | at_floor)
+
+        x = tuple(jnp.where(commit, xn, xx) for xn, xx in zip(x_new, x))
+        k = tuple(jnp.where(commit, kn, kk) for kn, kk in zip(k_new, k))
+        dk = tuple(jnp.where(commit, dn, dd) for dn, dd in zip(dk_new, dkdlam))
+        e0s = jnp.where(commit, e_1, e_0_s)
+        return x, k, dk, e0s, commit, fl_new
+
+    def push_batch(x, k, dkdlam, e_0_s, dl, active, n_iter=8):
+        """Array-facade push for tests/oracle parity: (N, 4) in/out.
+
+        Drives :func:`push_once` with the per-lane retry policy until every
+        active lane has advanced its full ``dl`` (or the attempt budget is
+        spent), reproducing the committed trajectory of one reference-style
+        adaptively-halved step."""
+        xc = tuple(x[:, i] for i in range(4))
+        kc = tuple(k[:, i] for i in range(4))
+        dkc = tuple(dkdlam[:, i] for i in range(4))
+        frozen = xc[1] < mc.x_start[1]
+        remaining = jnp.where(active & ~frozen, dl, 0.0)
+        shrink = jnp.ones_like(dl)
+        e0s = e_0_s
+        failed = jnp.zeros_like(active)
+
+        def body(i, s):
+            xc, kc, dkc, e0s, remaining, shrink, failed = s
+            act = remaining > 0.0
+            seg = remaining * shrink
+            at_floor = shrink <= SHRINK_FLOOR
+            xc, kc, dkc, e0s, commit, _ = push_once(
+                xc, kc, dkc, e0s, seg, act, at_floor
+            )
+            remaining = jnp.where(commit, remaining - seg, remaining)
+            shrink = jnp.where(
+                act & ~commit, jnp.maximum(shrink * 0.5, SHRINK_FLOOR),
+                jnp.minimum(shrink * 2.0, 1.0),
+            )
+            failed = failed | (act & ~commit)
+            return xc, kc, dkc, e0s, remaining, shrink, failed
+
+        xc, kc, dkc, e0s, remaining, _, failed = lax.fori_loop(
+            0, n_iter, body, (xc, kc, dkc, e0s, remaining, shrink, failed)
         )
         return (jnp.stack(xc, axis=-1), jnp.stack(kc, axis=-1),
-                jnp.stack(dkc, axis=-1), e0s, failed)
+                jnp.stack(dkc, axis=-1), e0s, failed & (remaining > 0.0))
 
     # ------------------------------------------------------------------
     # stop / record criteria (harm_model.cpp:1589-1618)
@@ -390,48 +472,62 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
     # ------------------------------------------------------------------
     def hot_step(state: State) -> State:
         p = state.pool
-        key, k_roul, k_roul2, k_x1 = random.split(state.key, 4)
+        key, k_roul2, k_x1 = random.split(state.key, 3)
 
         moving = p.alive & ~p.at_event
-
-        # Top-of-loop stop check (pend_push lanes are mid-event: exempt).
-        checkable = moving & ~p.pend_push
-        w, stopped, record = stop_and_roulette(k_roul, p, checkable)
-        p = p._replace(
-            w=w,
-            alive=p.alive & ~stopped,
-            record_pending=p.record_pending | record,
-        )
-        moving = moving & ~stopped
 
         # Save pre-step state for scatter rollback.
         x_pre, k_pre, dk_pre, e0s_pre = p.x, p.k, p.dkdlam, p.e_0_s
 
-        dl = jnp.where(
+        dl_full = jnp.where(
             p.pend_push,
             p.pend_dl,
             geometry.step_size_c(p.x[1], p.x[2], p.k[1], p.k[2], p.k[3], x2_stop),
         )
+        seg = dl_full * p.dl_shrink
+        at_floor = p.dl_shrink <= SHRINK_FLOOR
+        # The reference freezes photons with x1 < x_start1 (horizon plunge).
+        act = moving & ~(p.x[1] < mc.x_start[1])
+
         if "push" in dbg:
             xc, kc, dkc, e0sn = x_comps(p.x), x_comps(p.k), x_comps(p.dkdlam), p.e_0_s
+            commit = act
+            flc = _zero_flc(p.w.shape[0])
         else:
-            xc, kc, dkc, e0sn, _, _ = push_c(
-                x_comps(p.x), x_comps(p.k), x_comps(p.dkdlam), p.e_0_s, dl, moving
+            xc, kc, dkc, e0sn, commit, flc = push_once(
+                x_comps(p.x), x_comps(p.k), x_comps(p.dkdlam), p.e_0_s,
+                seg, act, at_floor,
             )
-        mv = moving[None, :]
         p = p._replace(
-            x=jnp.where(mv, jnp.stack(xc), p.x),
-            k=jnp.where(mv, jnp.stack(kc), p.k),
-            dkdlam=jnp.where(mv, jnp.stack(dkc), p.dkdlam),
-            e_0_s=jnp.where(moving, e0sn, p.e_0_s),
+            x=jnp.stack(xc),
+            k=jnp.stack(kc),
+            dkdlam=jnp.stack(dkc),
+            e_0_s=e0sn,
+            dl_shrink=jnp.where(
+                act & ~commit,
+                jnp.maximum(p.dl_shrink * 0.5, SHRINK_FLOOR),
+                jnp.minimum(p.dl_shrink * 2.0, 1.0),
+            ),
         )
 
-        # Lanes completing their partial re-push are now at the event point.
-        arrived = moving & p.pend_push
-        p = p._replace(pend_push=p.pend_push & ~arrived, at_event=p.at_event | arrived)
+        # Partial re-push bookkeeping: a pend lane advances seg of its
+        # remaining pend_dl; it is at the event point once nothing remains.
+        was_pend = p.pend_push  # tau for the re-push segment was accounted
+        # at scatter-decision time — pend lanes never re-enter interaction
+        pend_rem = jnp.where(p.pend_push & commit, p.pend_dl - seg, p.pend_dl)
+        arrived = moving & p.pend_push & commit & (pend_rem <= 0.0)
+        p = p._replace(
+            pend_dl=pend_rem,
+            pend_push=p.pend_push & ~arrived,
+            at_event=p.at_event | arrived,
+        )
 
-        # Post-push stop check (break before interacting, harm_model.cpp:932-934).
-        checkable = moving & ~arrived
+        # Stop check (harm_model.cpp:932-934).  One check per iteration,
+        # post-push, for lanes that moved: the reference's top-of-loop check
+        # for iteration n+1 is this iteration's post-push check; fresh lanes
+        # (the only ones the reference checks pre-push) can never trip it —
+        # they are inside the domain with w >> weight_min by construction.
+        checkable = (moving & commit & ~arrived) | (moving & ~act)
         w, stopped, record = stop_and_roulette(k_roul2, p, checkable)
         p = p._replace(
             w=w,
@@ -440,22 +536,25 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
         )
 
         # ------------------------------------------------------------------
-        # interaction (harm_model.cpp:937-1056)
+        # interaction (harm_model.cpp:937-1056) — only lanes that advanced
         # ------------------------------------------------------------------
-        inter = moving & ~arrived & ~stopped & p.interacting
+        inter = moving & commit & ~was_pend & ~stopped & p.interacting
         if "fluid" in dbg:
             n_step = p.n_step + moving.astype(jnp.int32)
             over = moving & (n_step > cfg.stall_steps)
             p = p._replace(n_step=n_step, alive=p.alive & ~over)
             return state._replace(pool=p, key=key, it=state.it + 1)
 
-        g7, fl = eval_fluid(p)
+        if cfg.interp_geom:
+            fl = flc  # blended at the committed position inside the push
+        else:
+            _, fl = eval_fluid(p)
         bound = fl.n_e == 0.0
         theta, nu, a_scf, a_abf = eval_alphas(x_comps(p.k), fl)
         bf = bias_func(fl.theta_e, p.w, state.counters)
 
         dead_branch = bound | (nu < 0.0)
-        half = 0.5 * d_tau_k * dl
+        half = 0.5 * d_tau_k * seg
         d_tau_scatt = jnp.where(
             dead_branch,
             p.alpha_scatti * half,
@@ -495,7 +594,7 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
             k=jnp.where(rl, k_pre, p.k),
             dkdlam=jnp.where(rl, dk_pre, p.dkdlam),
             e_0_s=jnp.where(roll, e0s_pre, p.e_0_s),
-            pend_dl=jnp.where(roll, dl * frac, p.pend_dl),
+            pend_dl=jnp.where(roll, seg * frac, p.pend_dl),
             sec_w=jnp.where(roll, sec_w, p.sec_w),
             pend_push=p.pend_push | roll,
             w=w_new,
@@ -694,6 +793,7 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
             n_scatt=jnp.where(load, rows[ROW_NSCATT].astype(jnp.int32), p.n_scatt),
             n_step=jnp.where(load, 0, p.n_step),
             pend_dl=pick(zero, p.pend_dl),
+            dl_shrink=pick(jnp.ones_like(w), p.dl_shrink),
             sec_w=pick(zero, p.sec_w),
             occupied=p.occupied | ok,
             alive=p.alive | ok,
@@ -731,6 +831,7 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
     def periodic_phase(state: State, backlog_rows) -> State:
         p, spec, counters, sec = state.pool, state.spec, state.counters, state.sec
         key, k_sc = random.split(state.key)
+        occ0 = p.occupied  # for the retired-steps accounting below
 
         # NaN insurance: poisoned lanes die unrecorded.
         poison = p.occupied & (
@@ -751,6 +852,14 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
             spec, counters, p = spectrum_add(spec, counters, p)
         # Free dead-but-unrecorded lanes (horizon, roulette, absorbed).
         p = p._replace(occupied=p.occupied & (p.alive | p.record_pending))
+        # Step-economics accounting: per-photon step counts at retirement
+        # (drives the steps/photon diagnostic in the benches).
+        freed = occ0 & ~p.occupied
+        counters = counters._replace(
+            n_retired=counters.n_retired + jnp.sum(freed).astype(jnp.int64),
+            n_steps_retired=counters.n_steps_retired
+            + jnp.sum(jnp.where(freed, p.n_step, 0)).astype(jnp.int64),
+        )
         backlog_pos = state.backlog_pos
         if "refill" not in dbg:
             p, sec, backlog_pos, counters, fresh = refill(
@@ -799,15 +908,12 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig)
         )
 
     def push_rounds(state: State):
-        """Diagnostic: inner halving-round count for one step of this pool."""
+        """Diagnostic: halving pressure — the count of occupied lanes whose
+        adaptive per-lane step is currently shrunk below the nominal dl
+        (the retry-push analogue of the old batch-max halving-round count;
+        0 means every lane commits full steps)."""
         p = state.pool
-        moving = p.alive & ~p.at_event
-        dl = jnp.where(
-            p.pend_push, p.pend_dl,
-            geometry.step_size_c(p.x[1], p.x[2], p.k[1], p.k[2], p.k[3], x2_stop),
-        )
-        out = push_c(x_comps(p.x), x_comps(p.k), x_comps(p.dkdlam), p.e_0_s, dl, moving)
-        return out[-1]
+        return jnp.sum(p.occupied & (p.dl_shrink < 1.0)).astype(jnp.int32)
 
     return {
         "run": run,

@@ -65,3 +65,45 @@ def test_zone_geometry_det(torus_model):
     d2 = np.linalg.det(np.asarray(g_con))
     np.testing.assert_allclose(d1 * d2, 1.0, rtol=1e-8)
     np.testing.assert_allclose(np.asarray(g_det), np.sqrt(np.abs(d1)), rtol=1e-12)
+
+
+def test_geom_blend_accuracy(torus_model):
+    """The gather-everything geometry blend (biquadratic connection with
+    pole regularization + bilinear fluid) tracks the analytic connection
+    and the reference-style interpolated fluid on a coarse 64x32 grid;
+    production grids (256^2) are ~2 orders of magnitude finer still."""
+    mc, prims, zone_x, g_cov_z, g_con_z, _ = _setup(torus_model)
+    fz = fluid.get_fluid_zone(prims, g_cov_z, g_con_z, mc)
+    geom9 = jnp.asarray(fluid.pack_geom9(fluid.make_geom_table(mc, fz),
+                                         mc.n1, mc.n2))
+    rng = np.random.default_rng(3)
+    n = 4096
+    x1 = jnp.asarray(rng.uniform(mc.x_start[1] + mc.dx[1],
+                                 mc.x_stop[1] - mc.dx[1], n))
+    x2 = jnp.asarray(rng.uniform(mc.x_start[2] + mc.dx[2],
+                                 mc.x_stop[2] - mc.dx[2], n))
+    conn_b, flu_b, inside = fluid.blend_geom_rows(geom9, x1, x2, mc)
+    assert bool(np.asarray(inside).all())
+
+    conn_a = np.stack([np.asarray(c) for c in
+                       geometry.connection_c(x1, x2, mc.a, mc.h_slope)])
+    scale = np.abs(conn_a).max(axis=0) + 1e-12
+    err = (np.abs(np.asarray(conn_b) - conn_a) / scale).max(axis=0)
+    assert np.median(err) < 2e-3
+    assert np.percentile(err, 99) < 5e-2
+    assert err.max() < 0.2
+
+    # fluid block vs the reference-style bilinear primitive interpolation
+    x = jnp.stack([jnp.zeros_like(x1), x1, x2, jnp.zeros_like(x1)], axis=-1)
+    g_cov = geometry.gcov(x, mc.a, mc.h_slope, mc.r_0)
+    fp = fluid.get_fluid_params(x, g_cov, prims, mc)
+    ne_b = np.asarray(flu_b[0])
+    ne_a = np.asarray(fp.n_e)
+    m = ne_a > 0
+    # interp-of-derived vs derive-of-interp: both second order; agree to a
+    # few percent wherever there is plasma
+    rel = np.abs(ne_b[m] - ne_a[m]) / (ne_a[m] + 1e-300)
+    assert np.median(rel) < 0.05
+    ucov_b = np.stack([np.asarray(flu_b[3 + i]) for i in range(4)], axis=-1)
+    du = np.abs(ucov_b - np.asarray(fp.u_cov)).max(-1)
+    assert np.median(du / (np.abs(np.asarray(fp.u_cov)).max(-1) + 1e-30)) < 0.02

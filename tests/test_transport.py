@@ -74,9 +74,14 @@ def test_push_preserves_nullness_and_energy(sim):
         return x, k, dk, e0s, active
 
     carry = (x, k, dk, e0s, active)
-    for _ in range(400):
+    snap = carry
+    for i in range(400):
         carry = step(carry)
-    x, k, dk, e0s, active = carry
+        if i % 25 == 24:
+            if int(np.asarray(carry[4]).sum()) < 16:
+                break  # keep the last snapshot with a usable sample
+            snap = carry
+    x, k, dk, e0s, active = snap
     act = np.asarray(active)
     if act.sum() == 0:
         pytest.skip("all photons left the domain early")
