@@ -50,6 +50,7 @@ def main():
         dtype=dtype, fp_iters=int(os.environ.get("MICRO_FP_ITERS", "2")),
         interp_geom=os.environ.get("MICRO_INTERP", "0") == "1",
         dbg_skip=os.environ.get("MICRO_SKIP", ""),
+        vmem_gather=os.environ.get("MICRO_VMEM_GATHER", "0") == "1",
     )
     sim = driver.Simulation(dump, photon_n=200_000, mass_unit=4e19,
                             config=cfg, emit_chunk=pool * 2)

@@ -345,14 +345,17 @@ def _four_vectors_c(v1, v2, v3, b1, b2, b3, g7, gc6, mc):
     return u_con, u_cov, b_con, b_cov, b_mag
 
 
-def get_fluid_params_c(x1, x2, corner_rows, mc, g7=None, gc6=None):
+def get_fluid_params_c(x1, x2, corner_rows, mc, g7=None, gc6=None,
+                       gather_fn=None):
     """Bilinear fluid state at (x1, x2) via ONE wide-row gather.
 
     Hot-path equivalent of :func:`get_fluid_params` (harm_model.cpp:595-671):
     the 4 corner gathers collapse into one gather of the packed
     ``corner_rows`` (see :func:`make_corner_table`); everything else is
     component math.  ``g7``/``gc6``: optional precomputed metric component
-    tuples at (x1, x2) — computed here if omitted.
+    tuples at (x1, x2) — computed here if omitted.  ``gather_fn``: optional
+    ``(table, idx) -> rows`` override for the hot gather (the engine passes
+    the Pallas VMEM kernel, ops/gather.py, on TPU).
     """
     inside = (
         (x1 >= mc.x_start[1])
@@ -362,7 +365,10 @@ def get_fluid_params_c(x1, x2, corner_rows, mc, g7=None, gc6=None):
     )
     i, j, del_i, del_j = geometry.x_to_ij_c(x1, x2, mc.x_start, mc.dx, (mc.n1, mc.n2))
     z = i * mc.n2 + j
-    rows = corner_rows[z]  # (N, 32) — the single hot-loop gather
+    if gather_fn is None:
+        rows = corner_rows[z]  # (N, 32) — the single hot-loop gather
+    else:
+        rows = gather_fn(corner_rows, z)
 
     c00 = ((1.0 - del_i) * (1.0 - del_j))[:, None]
     c01 = ((1.0 - del_i) * del_j)[:, None]

@@ -18,6 +18,7 @@ snapshot and retries instead of losing the run.
 from __future__ import annotations
 
 import logging
+import os
 import time
 from concurrent.futures import ThreadPoolExecutor
 
@@ -36,6 +37,17 @@ log = logging.getLogger("grmonty")
 
 # Spectrum accumulator channels carrying photon weight (all but nph, nscatt).
 _W_CHANNELS = [0, 1, 4, 5, 6, 7, 8, 9, 10, 11, 12]
+
+
+class _ImmediateFuture:
+    """Future-shaped wrapper that runs the call lazily at .result() time
+    (the GRMONTY_EMIT_OVERLAP=0 serial-emission path)."""
+
+    def __init__(self, fn, args):
+        self._fn, self._args = fn, args
+
+    def result(self):
+        return self._fn(*self._args)
 
 
 def unscale_spectrum(spec: np.ndarray, weight_scale: float) -> np.ndarray:
@@ -469,15 +481,21 @@ class Simulation:
             end = starts[i + 1] if i + 1 < len(starts) else plan.total
             for cs in range(s, end, chunk):
                 waves.append((cs, min(chunk, end - cs)))
+        # GRMONTY_EMIT_OVERLAP=0 serializes sampling with tracking (the
+        # sampler saturates host cores, which can starve the tunneled TPU
+        # runtime's host threads; measured A/B in BENCH notes).
+        overlap = os.environ.get("GRMONTY_EMIT_OVERLAP", "1") == "1"
         pool = ThreadPoolExecutor(max_workers=1)
+        submit = pool.submit if overlap else (
+            lambda f, *a: _ImmediateFuture(f, a))
         try:
-            fut = pool.submit(self.emit_packed_host, plan, waves[0][0], chunk,
-                              waves[0][1])
+            fut = submit(self.emit_packed_host, plan, waves[0][0], chunk,
+                         waves[0][1])
             for c, (start, limit) in enumerate(waves):
                 backlog_np = fut.result()
                 if c + 1 < len(waves):
-                    fut = pool.submit(self.emit_packed_host, plan,
-                                      waves[c + 1][0], chunk, waves[c + 1][1])
+                    fut = submit(self.emit_packed_host, plan,
+                                 waves[c + 1][0], chunk, waves[c + 1][1])
                 state = state._replace(backlog_pos=jnp.zeros((), jnp.int32))
                 state = self._run_wave(state, backlog_np, t0, c, len(waves),
                                        plan.total, start=start)

@@ -53,7 +53,7 @@ import numpy as np
 from jax import lax, random
 
 from grmonty_tpu import consts
-from grmonty_tpu.ops import cheb, emission, fluid, geometry, radiation, scattering
+from grmonty_tpu.ops import cheb, emission, fluid, gather, geometry, radiation, scattering
 
 PI = math.pi
 
@@ -106,6 +106,10 @@ class EngineConfig(typing.NamedTuple):
     #   micro-benchmarks only: "fluid" (interaction physics incl. the corner
     #   gather), "push" (geodesic step), "scatter" (periodic event phase),
     #   "record", "refill".  Never set in production runs.
+    vmem_gather: bool = False  # route the hot-loop corner-row gather through
+    #   the Pallas VMEM kernel (ops/gather.py) instead of an XLA HBM gather.
+    #   Wins when the packed corner table fits VMEM (gather.fits_vmem);
+    #   TPU-only — leave False on CPU backends.
     dtype: typing.Any = jnp.float64
     # Global factor applied to photon weights on emission.  Raw grmonty
     # weights reach ~1e50; TPU float64 is float32-pair emulation whose
@@ -263,12 +267,23 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
     def x_comps(x):
         return (x[0], x[1], x[2], x[3])
 
+    if cfg.vmem_gather and gather.fits_vmem(corner_rows.shape[0],
+                                            corner_rows.shape[1],
+                                            corner_rows.dtype.itemsize):
+        gather_fn = gather.vmem_row_gather
+    else:
+        gather_fn = None
+
+    def eval_fluid_xy(x1, x2):
+        """FluidC + metric tuple at arbitrary positions (one row gather)."""
+        g7 = geometry.gcov_c(x1, x2, a, hs, r0)
+        fl = fluid.get_fluid_params_c(x1, x2, corner_rows, mc, g7=g7,
+                                      gather_fn=gather_fn)
+        return g7, fl
+
     def eval_fluid(p: Pool):
         """FluidC + metric tuple at the pool positions (the hot-step gather)."""
-        x1, x2 = p.x[1], p.x[2]
-        g7 = geometry.gcov_c(x1, x2, a, hs, r0)
-        fl = fluid.get_fluid_params_c(x1, x2, corner_rows, mc, g7=g7)
-        return g7, fl
+        return eval_fluid_xy(p.x[1], p.x[2])
 
     def eval_alphas(k, fl):
         """(theta, nu, alpha_scatt, alpha_abs) from component tuples."""
@@ -291,6 +306,9 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
             * theta_e
             / (mc.bias_norm * counters.max_tau_scatt * (avg_scatt + 2.0))
         )
+        # Clamp order verified against harm_model.cpp:1396-1401: the
+        # reference floors to tp_over_te first, then caps to 0.5*w/w_min,
+        # so the cap wins when cap < floor — identical to max-then-min here.
         bias = jnp.maximum(bias, consts.TP_OVER_TE)
         bias = jnp.minimum(bias, cap)
         return bias / consts.TP_OVER_TE
@@ -683,28 +701,68 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         )
         return spec, counters, p
 
+    # Deferred scatter events are COMPACTED before the event physics: only
+    # a small fraction of the pool is at_event per periodic phase (scatter
+    # mean free paths are hundreds of steps), but the tetrad build + the
+    # electron/KN rejection samplers are the most expensive math in the
+    # engine — running them pool-wide made the periodic phase cost as much
+    # as 32 hot iterations (TPU profile: ~24 ms of a 43 ms slice at
+    # pool=65536).  Gather the at_event lanes into an EV_K-wide working set,
+    # run the event there, scatter results back.  Events beyond EV_K simply
+    # stay at_event until the next phase — at_event lanes are frozen, so
+    # deferral is semantically free (the reference processes scatters one
+    # photon at a time with the same event-time state).
+    EV_K = min(cfg.n_pool, max(256, cfg.n_pool // 8))
+
     def process_scatters(key, p: Pool, sec: SecBuf, counters):
-        """Run deferred scatter events; pack secondaries into the buffer."""
+        """Run deferred scatter events (compacted); pack secondaries."""
         ev = p.at_event
+        # Compact the first EV_K event-lane indices, ascending.  Expressed
+        # as cumsum-rank + row scatter (the same primitives the refill path
+        # uses) rather than jnp.nonzero(size=EV_K): nonzero lowers through
+        # bincount into a pair-scan whose scoped-VMEM scratch blows the
+        # 16 MB TPU limit at production pool sizes (observed compile OOM:
+        # "reduce-window ... 19.10M ... limit 16.00M").
+        rank = jnp.cumsum(ev.astype(jnp.int32)) - 1
+        slot = jnp.where(ev & (rank < EV_K), rank, EV_K)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (cfg.n_pool,), 0)
+        idx = jnp.full((EV_K,), cfg.n_pool, jnp.int32).at[slot].set(
+            lane, mode="drop")
+        valid = idx < cfg.n_pool
+        gi = jnp.minimum(idx, cfg.n_pool - 1)
+        sidx = jnp.where(valid, idx, cfg.n_pool)  # .at[... mode="drop"] pad
 
-        g7, fl = eval_fluid(p)
-        res = scattering.scatter_event_c(key, x_comps(p.k), fl, g7, mc.b_unit, active=ev)
+        xg = (p.x[0][gi], p.x[1][gi], p.x[2][gi], p.x[3][gi])
+        kg = (p.k[0][gi], p.k[1][gi], p.k[2][gi], p.k[3][gi])
+        wg = p.w[gi]
 
-        parent_die = ev & res.parent_die
-        make = ev & res.made & (fl.n_e > 0.0) & ~res.parent_die
+        g7, fl = eval_fluid_xy(xg[1], xg[2])
+        res = scattering.scatter_event_c(key, kg, fl, g7, mc.b_unit, active=valid)
+
+        parent_die = valid & res.parent_die
+        make = valid & res.made & (fl.n_e > 0.0) & ~res.parent_die
 
         # Post-event opacity refresh for surviving parents (:1026-1039).
-        theta, nu, a_scf, a_abf = eval_alphas(x_comps(p.k), fl)
+        theta, nu, a_scf, a_abf = eval_alphas(kg, fl)
         neg = nu < 0.0
-        survivors = ev & ~parent_die
+        surv = valid & ~parent_die
+
+        def put_where(dst, mask, val):
+            """dst[idx] = where(mask, val, dst[idx]) for the compact set."""
+            cur = dst[gi]
+            return dst.at[sidx].set(jnp.where(mask, val, cur), mode="drop")
+
+        processed = jnp.zeros_like(ev).at[sidx].set(valid, mode="drop")
         p = p._replace(
-            alpha_scatti=jnp.where(survivors, jnp.where(neg, 0.0, a_scf), p.alpha_scatti),
-            alpha_absi=jnp.where(survivors, jnp.where(neg, 0.0, a_abf), p.alpha_absi),
-            bi=jnp.where(survivors, bias_func(fl.theta_e, p.w, counters), p.bi),
-            w=jnp.where(parent_die, 0.0, p.w),
-            alive=p.alive & ~parent_die,
-            occupied=p.occupied & ~parent_die,
-            at_event=jnp.zeros_like(p.at_event),
+            alpha_scatti=put_where(p.alpha_scatti, surv,
+                                   jnp.where(neg, 0.0, a_scf)),
+            alpha_absi=put_where(p.alpha_absi, surv,
+                                 jnp.where(neg, 0.0, a_abf)),
+            bi=put_where(p.bi, surv, bias_func(fl.theta_e, wg, counters)),
+            w=put_where(p.w, parent_die, jnp.zeros_like(wg)),
+            alive=p.alive & ~jnp.zeros_like(ev).at[sidx].set(parent_die, mode="drop"),
+            occupied=p.occupied & ~jnp.zeros_like(ev).at[sidx].set(parent_die, mode="drop"),
+            at_event=ev & ~processed,
         )
 
         # Pack secondaries at sec.count + prefix ranks (one row scatter).
@@ -718,10 +776,11 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
 
         new_rows = jnp.stack(
             [
-                p.x[0], p.x[1], p.x[2], p.x[3],
+                xg[0], xg[1], xg[2], xg[3],
                 res.k_sec[0], res.k_sec[1], res.k_sec[2], res.k_sec[3],
-                p.sec_w, res.e_sec, res.l_sec, p.n_e_0, p.theta_e_0, fl.b,
-                p.e_0, (p.n_scatt + 1).astype(dt),
+                p.sec_w[gi], res.e_sec, res.l_sec, p.n_e_0[gi],
+                p.theta_e_0[gi], fl.b, p.e_0[gi],
+                (p.n_scatt[gi] + 1).astype(dt),
             ],
             axis=-1,
         )
