@@ -51,11 +51,12 @@ def main():
         interp_geom=os.environ.get("MICRO_INTERP", "0") == "1",
         dbg_skip=os.environ.get("MICRO_SKIP", ""),
         vmem_gather=os.environ.get("MICRO_VMEM_GATHER", "0") == "1",
+        fluid_cache=os.environ.get("MICRO_FLUID_CACHE", "0") == "1",
     )
-    sim = driver.Simulation(dump, photon_n=200_000, mass_unit=4e19,
-                            config=cfg, emit_chunk=pool * 2)
+    sim = driver.Simulation(dump, photon_n=500_000, mass_unit=4e19,
+                            config=cfg, emit_chunk=pool * 8)
     plan = sim.plan()
-    backlog = sim.emit_packed(plan, 0, pool * 2)
+    backlog = sim.emit_packed(plan, 0, pool * 8)
     state = sim.engine["fresh_state"](random.PRNGKey(0))
     state = jax.jit(sim.engine["periodic_phase"])(state, backlog)
     # advance into the real mid-wave regime
@@ -74,12 +75,15 @@ def main():
             ts.append(time.perf_counter() - t0)
         return min(ts), out
 
-    # full slice (ground truth per-iteration cost)
-    t_slice, _ = timed(
+    # full slice (ground truth per-iteration cost); verify it actually ran
+    # its full iteration budget with a loaded pool (a drained wave makes the
+    # while_loop exit early and the number meaningless).
+    t_slice, s_out = timed(
         lambda s: sim._run_jit(s._replace(it=jnp.zeros((), jnp.int32)), backlog),
         state,
     )
-    slice_iters = sim._slice_iters
+    slice_iters = int(s_out.it)
+    occ_after = int(jax.device_get(s_out.pool.occupied.sum()))
 
     # hot_step marginal via two fori lengths
     from jax import lax
@@ -104,10 +108,12 @@ def main():
         "value": round(hot_ms, 3),
         "unit": "ms/iter",
         "pool": pool,
-        "lane_steps_per_sec": round(pool / (t_slice / slice_iters)),
+        "lane_steps_per_sec": round(pool / (t_slice / max(slice_iters, 1))),
         "periodic_ms": round(per_ms, 3),
         "push_rounds": rounds,
-        "slice_ms_per_iter": round(t_slice / slice_iters * 1e3, 3),
+        "slice_ms_per_iter": round(t_slice / max(slice_iters, 1) * 1e3, 3),
+        "slice_iters": slice_iters,
+        "occ_after": occ_after,
     }))
 
 

@@ -169,12 +169,18 @@ class InitPhotons(typing.NamedTuple):
     n_scatt: jnp.ndarray  # int32
 
 
-def _interp_weight(nu, weights):
-    """Photon weight at frequency nu from the log table (harm_model.cpp:784-792)."""
+def _interp_weight_ln(nu, weights):
+    """ln(photon weight) at frequency nu from the log table
+    (harm_model.cpp:784-792, kept in log space for TPU range safety)."""
     d_i = (jnp.log(nu) - consts.L_NU_MIN) / consts.D_L_NU
     i = jnp.clip(jnp.floor(d_i).astype(jnp.int32), 0, consts.N_E_SAMP - 1)
     frac = d_i - i
-    return jnp.exp((1.0 - frac) * weights[i] + frac * weights[i + 1])
+    return (1.0 - frac) * weights[i] + frac * weights[i + 1]
+
+
+def _interp_weight(nu, weights):
+    """Photon weight at frequency nu (harm_model.cpp:784-792)."""
+    return jnp.exp(_interp_weight_ln(nu, weights))
 
 
 def sample_photons(
@@ -185,11 +191,11 @@ def sample_photons(
     fluid_zone,
     e_con_zone,
     e_cov_zone,
-    dn_max_zone,
+    ln_dn_max_zone,
     weights,
     f_table,
-    k2_table,
     dtype=jnp.float64,
+    ln_w_offset=0.0,
 ) -> InitPhotons:
     """Sample one photon per (zone_i, zone_j) entry (harm_model.cpp:706-782).
 
@@ -197,12 +203,22 @@ def sample_photons(
     rejection envelope) are gathered through the zone index arrays; the two
     rejection loops (frequency against the weight envelope, direction against
     the pitch-angle emissivity) run masked over the whole batch.
+
+    TPU-native design: both accept tests run in LOG space — the envelope
+    quantities span ~1e-70..1e50, far outside the f32 exponent range that
+    bounds all TPU arithmetic (emulated f64 included), so the sampler takes
+    ``ln_dn_max_zone`` = ln(dn_max) and compares ln U against
+    ln F - ln w - ln dn_max; the direction test uses the prefactor-free
+    ln[j(th)/j(pi/2)] (jnu.ln_synch_ratio), which also removes the K2 table
+    from the sampler entirely.  The produced photon weight is
+    exp(ln w + ln_w_offset): the driver passes ln(weight_scale) here so the
+    weight leaves the sampler already in the engine's representable range.
     """
     zi, zj = zone_i, zone_j
     theta_e = fluid_zone.theta_e[zi, zj].astype(dtype)
     n_e = fluid_zone.n_e[zi, zj].astype(dtype)
     b = fluid_zone.b[zi, zj].astype(dtype)
-    dn_max = dn_max_zone[zi, zj].astype(dtype)
+    ln_dn_max = ln_dn_max_zone[zi, zj].astype(dtype)
     e_con = e_con_zone[zi, zj].astype(dtype)
     e_cov = e_cov_zone[zi, zj].astype(dtype)
     x = zone_x[zi, zj].astype(dtype)
@@ -211,41 +227,48 @@ def sample_photons(
     # Lanes pointing at dead zones (padding, or zones with no emission
     # budget) can never accept a draw; start them accepted so they don't
     # drive the masked loops to the iteration cap.
-    dead = (dn_max <= 0.0) | (theta_e < consts.THETA_E_MIN)
+    dead = jnp.isneginf(ln_dn_max) | (theta_e < consts.THETA_E_MIN)
 
     # --- frequency rejection against the weight envelope (:736-740) -------
     def nu_body(state):
-        key, nu, w, accepted, it = state
+        key, nu, lnw, accepted, it = state
         key, k1, k2_ = random.split(key, 3)
         nu_new = jnp.exp(random.uniform(k1, shape, dtype) * consts.N_L_N + consts.L_NU_MIN)
-        w_new = _interp_weight(nu_new, weights)
-        ratio = jnu.f_eval(theta_e, b, nu_new, f_table) / (w_new + 1.0e-100) / (dn_max + 1e-300)
-        accept = random.uniform(k2_, shape, dtype) <= ratio
+        lnw_new = _interp_weight_ln(nu_new, weights)
+        ln_ratio = (jnu.ln_f_eval(theta_e, b, nu_new, f_table)
+                    - lnw_new - ln_dn_max)
+        ln_u = jnp.log(random.uniform(k2_, shape, dtype) + 1e-300)
+        accept = ln_u <= ln_ratio
         take = accept & ~accepted
         nu = jnp.where(take, nu_new, nu)
-        w = jnp.where(take, w_new, w)
-        return key, nu, w, accepted | accept, it + 1
+        lnw = jnp.where(take, lnw_new, lnw)
+        return key, nu, lnw, accepted | accept, it + 1
 
     def nu_cond(state):
         *_, accepted, it = state
         return (~jnp.all(accepted)) & (it < _MAX_REJECT_ITERS)
 
-    key, nu, w, _, _ = lax.while_loop(
+    key, nu, lnw, _, _ = lax.while_loop(
         nu_cond,
         nu_body,
-        (key, jnp.full(shape, consts.NU_MIN, dtype), jnp.zeros(shape, dtype), dead, 0),
+        (key, jnp.full(shape, consts.NU_MIN, dtype),
+         jnp.full(shape, -jnp.inf, dtype), dead, 0),
     )
+    w = jnp.exp(lnw + ln_w_offset)
 
     # --- direction rejection against j(theta)/j(pi/2) (:743-751) ----------
-    j_max = jnu.synch(nu, n_e, theta_e, b, PI / 2.0, k2_table)
+    # j(pi/2) = 0 exactly when the nu > 1e12 nu_s cutoff trips at sin = 1.
+    nu_c = consts.EE * b / (2.0 * PI * consts.ME * consts.CL)
+    j90_zero = nu > 1.0e12 * (2.0 / 9.0) * nu_c * theta_e * theta_e
 
     def th_body(state):
         key, cth, accepted, it = state
         key, k1, k2_ = random.split(key, 3)
         cth_new = 2.0 * random.uniform(k1, shape, dtype) - 1.0
-        th = jnp.arccos(cth_new)
-        ratio = jnu.synch(nu, n_e, theta_e, b, th, k2_table) / (j_max + 1e-300)
-        accept = random.uniform(k2_, shape, dtype) <= ratio
+        s_th = jnp.sqrt(jnp.maximum(1.0 - cth_new * cth_new, 1e-30))
+        ln_ratio = jnu.ln_synch_ratio(nu, theta_e, b, s_th)
+        ln_u = jnp.log(random.uniform(k2_, shape, dtype) + 1e-300)
+        accept = ln_u <= ln_ratio
         cth = jnp.where(accept & ~accepted, cth_new, cth)
         return key, cth, accepted | accept, it + 1
 
@@ -254,7 +277,7 @@ def sample_photons(
         return (~jnp.all(accepted)) & (it < _MAX_REJECT_ITERS)
 
     key, cos_th, _, _ = lax.while_loop(
-        th_cond, th_body, (key, jnp.zeros(shape, dtype), dead | (j_max <= 0.0), 0)
+        th_cond, th_body, (key, jnp.zeros(shape, dtype), dead | j90_zero, 0)
     )
 
     sin_th = jnp.sqrt(1.0 - cos_th * cos_th)

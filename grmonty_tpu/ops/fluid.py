@@ -395,6 +395,67 @@ def get_fluid_params_c(x1, x2, corner_rows, mc, g7=None, gc6=None,
     return FluidC(n_e, theta_e, b_mag, u_con, u_cov, b_con, b_cov)
 
 
+def get_fluid_params_frow(x1, x2, frow, cell, mc, g7=None, gc6=None):
+    """Bilinear fluid state from a lane-cached corner row — NO gather.
+
+    TPU rationale: the (N,)-index gather of ``corner_rows`` is the transport
+    hot step's floor cost (~8.5 ns/index through XLA; the hardware
+    ``tpu.dynamic_gather`` only shuffles within one 8-sublane vreg, so no
+    Pallas kernel can beat it).  But the gathered row is a function of the
+    bilinear CELL, which changes only when a photon crosses a zone-center
+    boundary — a few percent of lanes per step at STEP_EPS = 0.04.  The
+    engine therefore carries each lane's corner row (``frow``: (32, N)) and
+    its cell id (``cell``: (N,)) in the pool state, refreshing only crossing
+    lanes with a compacted gather; this function evaluates the same bilinear
+    blend as :func:`get_fluid_params_c` from the cache.
+
+    The blend offsets are computed relative to the CACHED cell, so if a
+    refresh ever overflows its compaction budget the stale lane degrades to
+    (one step of) linear extrapolation from the neighbouring cell instead of
+    reading wrong data; with the cache fresh (cell == x_to_ij cell) the
+    result is bit-identical to the gather path.
+    """
+    inside = (
+        (x1 >= mc.x_start[1])
+        & (x1 <= mc.x_stop[1])
+        & (x2 >= mc.x_start[2])
+        & (x2 <= mc.x_stop[2])
+    )
+    i_c = cell // mc.n2
+    j_c = cell - i_c * mc.n2
+    # Boundary clamps follow the reference (harm_model.cpp:1406-1434): the
+    # unclamped floor decides the 0/1 pinning, the cell decides the offset.
+    fi = jnp.floor((x1 - mc.x_start[1]) / mc.dx[1] - 0.5)
+    fj = jnp.floor((x2 - mc.x_start[2]) / mc.dx[2] - 0.5)
+    del_i = (x1 - ((i_c + 0.5) * mc.dx[1] + mc.x_start[1])) / mc.dx[1]
+    del_j = (x2 - ((j_c + 0.5) * mc.dx[2] + mc.x_start[2])) / mc.dx[2]
+    del_i = jnp.where(fi < 0, 0.0, jnp.where(fi > mc.n1 - 2, 1.0, del_i))
+    del_j = jnp.where(fj < 0, 0.0, jnp.where(fj > mc.n2 - 2, 1.0, del_j))
+
+    c00 = (1.0 - del_i) * (1.0 - del_j)
+    c01 = (1.0 - del_i) * del_j
+    c10 = del_i * (1.0 - del_j)
+    c11 = del_i * del_j
+    p = [
+        frow[m] * c00 + frow[8 + m] * c01 + frow[16 + m] * c10
+        + frow[24 + m] * c11
+        for m in range(8)
+    ]
+
+    rho, uu = p[0], p[1]
+    n_e = jnp.where(inside, rho * mc.n_e_unit, 0.0)
+    theta_e = uu / rho * mc.theta_e_unit
+
+    if g7 is None:
+        g7 = geometry.gcov_c(x1, x2, mc.a, mc.h_slope, mc.r_0)
+    if gc6 is None:
+        gc6 = geometry.gcon_c(x1, x2, mc.a, mc.h_slope, mc.r_0)
+    u_con, u_cov, b_con, b_cov, b_mag = _four_vectors_c(
+        p[2], p[3], p[4], p[5], p[6], p[7], g7, gc6, mc
+    )
+    return FluidC(n_e, theta_e, b_mag, u_con, u_cov, b_con, b_cov)
+
+
 def precompute_zone_geometry(mc, dtype=jnp.float64):
     """gcov/gcon/sqrt|det g| at every zone center (harm_model.cpp:242-266)."""
     ii, jj = jnp.meshgrid(

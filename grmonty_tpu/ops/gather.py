@@ -51,7 +51,26 @@ def fits_vmem(n_rows, row_width, itemsize=4):
 def _gather_kernel(idx_ref, table_ref, out_ref):
     z, w = table_ref.shape
     idx2 = jnp.broadcast_to(idx_ref[:].reshape(z, 1), (z, w))
-    out_ref[:] = jnp.take_along_axis(table_ref[:], idx2, axis=0)
+    # Spelled as a raw lax.gather in exactly the shape Mosaic lowers to a
+    # hardware tpu.dynamic_gather along the sublane axis
+    # (jax/_src/pallas/mosaic/lowering.py, _gather_lowering_rule).  The
+    # jnp.take_along_axis wrapper produces the same gather but force-casts
+    # the indices to int64 when jax_enable_x64 is on (the engine's global
+    # setting), which Mosaic rejects.
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(),
+        collapsed_slice_dims=(0,),
+        start_index_map=(0,),
+        operand_batching_dims=(1,),
+        start_indices_batching_dims=(1,),
+    )
+    out_ref[:] = jax.lax.gather(
+        table_ref[:],
+        idx2[:, :, None],
+        dnums,
+        slice_sizes=(1, 1),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -67,6 +86,9 @@ def vmem_row_gather(table, idx, interpret=None):
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    # Mosaic has no 64-bit support; the engine runs with global x64 enabled
+    # (f64 host-side geometry), so the cell index may arrive as int64.
+    idx = idx.astype(jnp.int32)
     z, w = table.shape
     (n,) = idx.shape
     n_chunks = -(-n // z)

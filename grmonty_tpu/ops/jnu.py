@@ -92,6 +92,54 @@ def f_eval(theta_e, b_mag, nu, f_table):
     return jnp.where(k > consts.jnu.MAX_K, 0.0, out)
 
 
+def ln_f_eval(theta_e, b_mag, nu, f_table):
+    """ln F(k) — :func:`f_eval` without leaving log space.
+
+    TPU rationale: F spans ~1e-70..1e2 on the emission rejection path,
+    far outside the f32 exponent range that bounds all TPU arithmetic
+    (including emulated f64); the emission sampler therefore runs its
+    accept tests on ln F (see emission.sample_photons).  Out-of-table
+    k > MAX_K returns -inf (certain reject), matching f_eval's 0.
+    """
+    k = consts.jnu.K_FAC * nu / (b_mag * theta_e * theta_e + consts.EPS)
+    small = jnp.cbrt(jnp.maximum(k, consts.EPS))
+    ln_small = jnp.log(small * (37.67503800178 + 2.240274341836 * small))
+    d_i = (jnp.log(jnp.maximum(k, consts.jnu.MIN_K)) - consts.jnu.L_MIN_K) / consts.jnu.D_L_K
+    i = jnp.clip(jnp.floor(d_i).astype(jnp.int32), 0, f_table.shape[0] - 2)
+    frac = d_i - i
+    interp = (1.0 - frac) * f_table[i] + frac * f_table[i + 1]
+    out = jnp.where(k < consts.jnu.MIN_K, ln_small, interp)
+    return jnp.where(k > consts.jnu.MAX_K, -jnp.inf, out)
+
+
+def ln_synch_ratio(nu, theta_e, b, sin_th):
+    """ln[ j(theta) / j(pi/2) ] of the thermal synchrotron emissivity.
+
+    The n_e, K2 and constant prefactors of j (jnu_mixed.cpp:75-100) cancel
+    in the ratio, leaving sin(theta) * f(x_th)/f(x_90) * exp(x90^{1/3} -
+    x_th^{1/3}) — every factor f32-safe, so the emission direction
+    rejection needs neither the K2 table nor huge-range arithmetic.
+    Returns -inf where the reference emissivity is zero at theta (the
+    nu > 1e12 nu_s cutoff); the caller handles the j(pi/2) = 0 case.
+    """
+    nu_c = consts.EE * b / (2.0 * PI * consts.ME * consts.CL)
+    nu_s90 = (2.0 / 9.0) * nu_c * theta_e * theta_e
+    x90 = nu / (nu_s90 + consts.EPS)
+    x_th = nu / (nu_s90 * sin_th + consts.EPS)
+
+    def ln_f(x):
+        xp6 = jnp.power(jnp.maximum(x, 1e-30), 1.0 / 6.0)
+        xx = xp6 * xp6 * xp6 + consts.jnu.CST * xp6
+        return 2.0 * jnp.log(xx)
+
+    out = (
+        jnp.log(jnp.maximum(sin_th, 1e-30))
+        + ln_f(x_th) - ln_f(x90)
+        + jnp.cbrt(x90) - jnp.cbrt(x_th)
+    )
+    return jnp.where(nu > 1.0e12 * nu_s90 * sin_th, -jnp.inf, out)
+
+
 def synch_c(nu, n_e, theta_e, b, theta, k2_coeffs):
     """:func:`synch` with the Chebyshev K2 surrogate (transport hot path)."""
     from grmonty_tpu.ops import cheb

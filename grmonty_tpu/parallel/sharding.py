@@ -45,9 +45,10 @@ def _state_specs():
     progress (backlog_pos, sec.count) is then visible to the host without
     any replication assumption.
     """
+    two_d = ("x", "k", "dkdlam", "frow")  # (., N) arrays: shard the lane axis
     pool = engine_mod.Pool(
-        x=P(None, "ph"), k=P(None, "ph"), dkdlam=P(None, "ph"),
-        **{f: P("ph") for f in engine_mod.Pool._fields if f not in ("x", "k", "dkdlam")},
+        **{f: P(None, "ph") for f in two_d},
+        **{f: P("ph") for f in engine_mod.Pool._fields if f not in two_d},
     )
     sec = engine_mod.SecBuf(rows=P("ph", None), count=P("ph"))
     counters = engine_mod.Counters(*([P("ph")] * len(engine_mod.Counters._fields)))

@@ -25,7 +25,7 @@ from concurrent.futures import ThreadPoolExecutor
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import random
+from jax import lax, random
 
 from grmonty_tpu import consts
 from grmonty_tpu.models import harm
@@ -225,14 +225,23 @@ class Simulation:
         self._run_jit = jax.jit(self.engine["run"])  # donation disabled: faults the axon TPU runtime
         self._tail_engines = {}  # rebuilt lazily (per pool size)
         # Sampler runs on CPU (f64) regardless of the engine dtype; inputs
-        # are committed to the CPU device so jit compiles there.
+        # are committed to the CPU device so jit compiles there.  The accept
+        # tests run in log space (see emission.sample_photons), so the
+        # envelope ships as ln(dn_max).
+        self._ln_dn_cpu = jax.device_put(
+            np.log(np.maximum(np.asarray(self.dn_max, np.float64), 1e-300))
+            + np.where(np.asarray(self.dn_max) > 0.0, 0.0, -np.inf), cpu)
         self._sample_jit = jax.jit(
             lambda key, zi, zj: emission.sample_photons(
                 key, zi, zj, self.zone_x, self.fluid_zone, self.e_con_z,
-                self.e_cov_z, self.dn_max, self._weights_cpu,
-                self._f_cpu, self._k2_cpu, dtype=jnp.float64,
+                self.e_cov_z, self._ln_dn_cpu, self._weights_cpu,
+                self._f_cpu, dtype=jnp.float64,
             )
         )
+        # Accelerator-side emission (see run()): built lazily because it
+        # device_puts ~100 MB of plan/zone tables.
+        self._dev_sampler = None
+        self._plan_dev = None
 
     def _recover(self):
         """Tear down the faulted PJRT client and rebuild everything."""
@@ -240,7 +249,7 @@ class Simulation:
 
         jax.clear_caches()
         xla_bridge._clear_backends()
-        self._build_device()
+        self._build_device()  # also resets _dev_sampler/_plan_dev
 
     # ------------------------------------------------------------------
     def plan(self) -> emission.EmissionPlan:
@@ -303,6 +312,98 @@ class Simulation:
         return jax.device_put(self.emit_packed_host(plan, start, count, limit))
 
     # ------------------------------------------------------------------
+    # accelerator-side emission
+    #
+    # The host path above exists for the CPU backend and the oracle tests;
+    # in production the host has ~1 core while the accelerator tracks a
+    # wave in a few seconds — the round-2 bench spent ~28 s of every 33 s
+    # wave WAITING for host emission.  The sampler is pure jitted JAX, so
+    # the device path runs the same code on the accelerator (engine dtype,
+    # log-space accept tests for f32 range safety) with the plan's
+    # zone-index arrays resident on device, and packs rows there — no
+    # host<->device photon traffic at all.
+    # ------------------------------------------------------------------
+    def _ensure_dev_sampler(self, plan):
+        if self._plan_dev is None:
+            # The flat photon->zone map is ~100 MB at bench scale — far too
+            # much to ship over a slow tunnel.  Ship the (Z+1,) cumulative
+            # per-zone counts instead (256 KB) and recover each photon's
+            # zone on device with a binary search over its global index.
+            counts = np.zeros(self.mc.n1 * self.mc.n2, np.int64)
+            zflat = plan.zone_i.astype(np.int64) * self.mc.n2 + plan.zone_j
+            np.add.at(counts, zflat, 1)
+            cum = np.zeros(counts.size + 1, np.int32)
+            np.cumsum(counts, out=cum[1:])
+            self._plan_dev = jax.device_put(cum)
+        if self._dev_sampler is not None:
+            return
+        dt = self.cfg.dtype
+        dput = lambda a: jax.device_put(np.asarray(a, np.float64).astype(dt))
+        zone_x = dput(self.zone_x)
+        flz = jax.tree.map(dput, self.fluid_zone)
+        e_con = dput(self.e_con_z)
+        e_cov = dput(self.e_cov_z)
+        ln_dn = dput(jax.device_get(self._ln_dn_cpu))
+        weights = dput(self._weights_cpu)
+        f_t = dput(self._f_cpu)
+        ln_w_off = float(np.log(self.cfg.weight_scale))
+        chunk = self.emit_chunk
+
+        n2 = self.mc.n2
+        cum_dev = self._plan_dev
+
+        def emit(key, start, limit):
+            # Photon t's zone z satisfies cum[z] <= t < cum[z+1] and the
+            # window's indices are consecutive, so instead of a searchsorted
+            # per lane: find the window's first zone with one scalar search,
+            # scatter a mark at every zone boundary inside the window, and
+            # cumsum the marks.
+            z0 = jnp.searchsorted(cum_dev, start, side="right") - 1
+            off = cum_dev - start  # boundary positions relative to window
+            in_win = (off > 0) & (off < chunk)
+            marks = jnp.zeros((chunk,), jnp.int32).at[
+                jnp.where(in_win, off, chunk)].add(1, mode="drop")
+            zflat = jnp.clip(z0 + jnp.cumsum(marks), 0, cum_dev.shape[0] - 2)
+            zi = zflat // n2
+            zj = zflat - zi * n2
+            b = emission.sample_photons(
+                key, zi, zj, zone_x, flz, e_con, e_cov, ln_dn, weights,
+                f_t, dtype=dt, ln_w_offset=ln_w_off,
+            )
+            lane = jnp.arange(chunk)
+            valid = lane < limit
+            w = jnp.where(valid, b.w.astype(dt), 0.0)
+            cols = ([b.x[:, i].astype(dt) for i in range(4)]
+                    + [b.k[:, i].astype(dt) for i in range(4)]
+                    + [w, b.e.astype(dt), b.l.astype(dt),
+                       b.n_e_0.astype(dt), b.theta_e_0.astype(dt),
+                       b.b_0.astype(dt), b.e_0.astype(dt),
+                       b.n_scatt.astype(dt)])
+            return jnp.stack(cols, axis=1)
+
+        self._dev_sampler = jax.jit(emit)
+
+    def emit_packed_dev(self, plan, start, limit):
+        """Packed (emit_chunk, 16) backlog rows sampled ON the accelerator.
+
+        Returns (rows, key): the key is stashed by the caller so a device
+        fault can re-emit the identical wave deterministically.
+        """
+        self._ensure_dev_sampler(plan)
+        self.key, k = random.split(self.key)
+        rows = self._dev_sampler(k, jnp.asarray(start, jnp.int32),
+                                 jnp.asarray(limit, jnp.int32))
+        return rows, np.asarray(k)
+
+    def _remake_dev_backlog(self, plan, k_wave, start, limit):
+        """Deterministically re-emit a wave after device-fault recovery
+        (the stashed wave key replays the identical photons)."""
+        self._ensure_dev_sampler(plan)
+        return self._dev_sampler(jnp.asarray(k_wave),
+                                 jnp.asarray(start, jnp.int32),
+                                 jnp.asarray(limit, jnp.int32))
+
+    # ------------------------------------------------------------------
     def _drain_spec(self, state):
         """Move the device spectrum accumulator into the host f64 one."""
         self.spec_acc += np.asarray(jax.device_get(state.spec), np.float64)
@@ -316,10 +417,17 @@ class Simulation:
         self.spec_acc = spec_acc.copy()
         return jax.device_put(state_host)
 
-    def _run_wave(self, state, backlog_np, t0, c, n_chunks, total, start=0):
+    def _run_wave(self, state, backlog_np, t0, c, n_chunks, total, start=0,
+                  remake_backlog=None):
         """Run one backlog wave in bounded slices with rate telemetry
         (the reference's 1 Hz photon-rate logging, harm_model.cpp:397-403),
-        per-slice spectrum draining, and fault-retry from snapshots."""
+        per-slice spectrum draining, and fault-retry from snapshots.
+
+        ``backlog_np`` may be host numpy or an already-device rows array;
+        ``remake_backlog`` rebuilds it after a device-fault recovery
+        (defaults to re-uploading the numpy array)."""
+        if remake_backlog is None:
+            remake_backlog = lambda: jax.device_put(backlog_np)
         backlog = jax.device_put(backlog_np)
         snap = self._snapshot(state)
         retries = 0
@@ -342,7 +450,7 @@ class Simulation:
                 time.sleep(5.0 * retries)
                 self._recover()
                 state = self._restore(snap)
-                backlog = jax.device_put(backlog_np)
+                backlog = remake_backlog()
                 continue
             s += 1
             if s % self.snapshot_every == 0:
@@ -357,7 +465,7 @@ class Simulation:
                 done / max(elapsed, 1e-9),
             )
             finished = (
-                pos >= backlog_np.shape[0]
+                pos >= backlog.shape[0]
                 and sec == 0
                 and occupied <= self._wave_tail_exit
             )
@@ -481,26 +589,41 @@ class Simulation:
             end = starts[i + 1] if i + 1 < len(starts) else plan.total
             for cs in range(s, end, chunk):
                 waves.append((cs, min(chunk, end - cs)))
-        # GRMONTY_EMIT_OVERLAP=0 serializes sampling with tracking (the
-        # sampler saturates host cores, which can starve the tunneled TPU
-        # runtime's host threads; measured A/B in BENCH notes).
-        overlap = os.environ.get("GRMONTY_EMIT_OVERLAP", "1") == "1"
-        pool = ThreadPoolExecutor(max_workers=1)
-        submit = pool.submit if overlap else (
-            lambda f, *a: _ImmediateFuture(f, a))
-        try:
-            fut = submit(self.emit_packed_host, plan, waves[0][0], chunk,
-                         waves[0][1])
+        # Emission placement: on an accelerator backend the sampler runs ON
+        # the device (see emit_packed_dev) — the production host has ~1 core
+        # and host sampling left the accelerator idle ~85% of each wave.
+        # The host path remains for the CPU backend (and GRMONTY_EMIT_DEVICE=0
+        # A/B runs), where emission overlaps tracking via a prefetch thread
+        # (GRMONTY_EMIT_OVERLAP=0 serializes it).
+        emit_dev = (jax.default_backend() != "cpu"
+                    and os.environ.get("GRMONTY_EMIT_DEVICE", "1") == "1")
+        if emit_dev:
             for c, (start, limit) in enumerate(waves):
-                backlog_np = fut.result()
-                if c + 1 < len(waves):
-                    fut = submit(self.emit_packed_host, plan,
-                                 waves[c + 1][0], chunk, waves[c + 1][1])
+                backlog, k_wave = self.emit_packed_dev(plan, start, limit)
                 state = state._replace(backlog_pos=jnp.zeros((), jnp.int32))
-                state = self._run_wave(state, backlog_np, t0, c, len(waves),
-                                       plan.total, start=start)
-        finally:
-            pool.shutdown(wait=False, cancel_futures=True)
+                remake = (lambda k=k_wave, st=start, li=limit:
+                          self._remake_dev_backlog(plan, k, st, li))
+                state = self._run_wave(state, backlog, t0, c, len(waves),
+                                       plan.total, start=start,
+                                       remake_backlog=remake)
+        else:
+            overlap = os.environ.get("GRMONTY_EMIT_OVERLAP", "1") == "1"
+            pool = ThreadPoolExecutor(max_workers=1)
+            submit = pool.submit if overlap else (
+                lambda f, *a: _ImmediateFuture(f, a))
+            try:
+                fut = submit(self.emit_packed_host, plan, waves[0][0], chunk,
+                             waves[0][1])
+                for c, (start, limit) in enumerate(waves):
+                    backlog_np = fut.result()
+                    if c + 1 < len(waves):
+                        fut = submit(self.emit_packed_host, plan,
+                                     waves[c + 1][0], chunk, waves[c + 1][1])
+                    state = state._replace(backlog_pos=jnp.zeros((), jnp.int32))
+                    state = self._run_wave(state, backlog_np, t0, c, len(waves),
+                                           plan.total, start=start)
+            finally:
+                pool.shutdown(wait=False, cancel_futures=True)
 
         state = self._drain_tail(state)
         state = self._drain_spec(state)

@@ -110,6 +110,16 @@ class EngineConfig(typing.NamedTuple):
     #   the Pallas VMEM kernel (ops/gather.py) instead of an XLA HBM gather.
     #   Wins when the packed corner table fits VMEM (gather.fits_vmem);
     #   TPU-only — leave False on CPU backends.
+    fluid_cache: bool = False  # carry each lane's bilinear corner row in
+    #   the pool and re-gather only lanes whose cell changed (a few % per
+    #   step), compacted (see fluid.get_fluid_params_frow).  Physically
+    #   exact (residual = FP reassociation, ~1e-15 rel), and the isolated
+    #   compact-gather+scatter probe beats the full gather — but measured
+    #   IN the engine it LOSES: hot_step 0.78 -> 1.73 ms at pool=65536 on a
+    #   real v5e (bench_micro A/B): the (32, N) column scatter into the
+    #   large while_loop carry defeats XLA's in-place aliasing and the
+    #   refresh cannot fuse with the surrounding iteration.  Kept as a
+    #   tested option; default stays the plain pool-wide gather.
     dtype: typing.Any = jnp.float64
     # Global factor applied to photon weights on emission.  Raw grmonty
     # weights reach ~1e50; TPU float64 is float32-pair emulation whose
@@ -148,6 +158,8 @@ class Pool(typing.NamedTuple):
     pend_dl: jnp.ndarray  # remaining re-push length for a decided scatter
     dl_shrink: jnp.ndarray  # per-lane adaptive step shrink in [2^-7, 1]
     sec_w: jnp.ndarray  # secondary weight frozen at decision time
+    frow: jnp.ndarray  # (32, N) cached bilinear corner row (fluid_cache)
+    cell: jnp.ndarray  # (N,) int32 cell id the cache was gathered for (-1 none)
     n_scatt: jnp.ndarray  # int32
     n_step: jnp.ndarray  # int32
     occupied: jnp.ndarray  # slot holds a photon (possibly awaiting record)
@@ -194,7 +206,9 @@ def empty_pool(n, dtype):
         x=z4(), k=z4(), dkdlam=z4(), w=z(), e=z(), l=z(), x1i=z(), x2i=z(),
         tau_abs=z(), tau_scatt=z(), n_e_0=z(), theta_e_0=z(), b_0=z(), e_0=z(),
         e_0_s=z(), alpha_scatti=z(), alpha_absi=z(), bi=z(), pend_dl=z(),
-        dl_shrink=jnp.ones((n,), dtype), sec_w=z(), n_scatt=zi(), n_step=zi(),
+        dl_shrink=jnp.ones((n,), dtype), sec_w=z(),
+        frow=jnp.zeros((32, n), dtype), cell=jnp.full((n,), -1, jnp.int32),
+        n_scatt=zi(), n_step=zi(),
         occupied=zb(), alive=zb(), interacting=zb(), pend_push=zb(),
         at_event=zb(), record_pending=zb(),
     )
@@ -565,6 +579,26 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
 
         if cfg.interp_geom:
             fl = flc  # blended at the committed position inside the push
+        elif cfg.fluid_cache:
+            # Refresh the lane corner-row cache for lanes whose bilinear
+            # cell changed this step (compacted — see get_fluid_params_frow).
+            ii, jj, _, _ = geometry.x_to_ij_c(
+                p.x[1], p.x[2], mc.x_start, mc.dx, (mc.n1, mc.n2))
+            z_new = (ii * mc.n2 + jj).astype(jnp.int32)
+            need = p.occupied & (z_new != p.cell)
+            valid_g, gi_g, sidx_g = compact_idx(need, EV_K)
+            zg = z_new[gi_g]
+            rows_g = corner_rows[jnp.where(valid_g, zg, 0)]  # (EV_K, 32)
+            p = p._replace(
+                frow=p.frow.at[:, sidx_g].set(
+                    jnp.where(valid_g, rows_g.T, p.frow[:, gi_g]),
+                    mode="drop"),
+                cell=p.cell.at[sidx_g].set(
+                    jnp.where(valid_g, zg, p.cell[gi_g]), mode="drop"),
+            )
+            g7h = geometry.gcov_c(p.x[1], p.x[2], a, hs, r0)
+            fl = fluid.get_fluid_params_frow(p.x[1], p.x[2], p.frow, p.cell,
+                                             mc, g7=g7h)
         else:
             _, fl = eval_fluid(p)
         bound = fl.n_e == 0.0
@@ -641,17 +675,29 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
     # periodic phase: scatter events, record, refill, init
     # ------------------------------------------------------------------
     def spectrum_add(spec, counters, p: Pool):
-        """Record escaped photons (harm_model.cpp:1291-1335) via scatter-add."""
-        rec = p.record_pending & ~(jnp.isnan(p.w) | jnp.isnan(p.e))
+        """Record escaped photons (harm_model.cpp:1291-1335), compacted.
+
+        Up to EV_K pending lanes are recorded per call; the rest stay
+        record_pending for the next phase (frozen, semantically free — see
+        the compaction note above).  NaN-poisoned pending lanes are freed
+        unrecorded (the reference's NaN validation, harm_model.cpp:895-900).
+        """
+        bad = p.record_pending & (jnp.isnan(p.w) | jnp.isnan(p.e))
+        rec = p.record_pending & ~bad
+        valid, gi, sidx = compact_idx(rec, EV_K)
+
+        x2g, x3g = p.x[2][gi], p.x[3][gi]
+        w, e = p.w[gi], p.e[gi]
+        nsc = p.n_scatt[gi]
 
         dx2 = (mc.x_stop[2] - mc.x_start[2]) / (2.0 * consts.N_TH_BINS)
         mid = 0.5 * (mc.x_start[2] + mc.x_stop[2])
         ix2 = jnp.where(
-            p.x[2] < mid,
-            jnp.floor(p.x[2] / dx2),
-            jnp.floor((mc.x_stop[2] - p.x[2]) / dx2),
+            x2g < mid,
+            jnp.floor(x2g / dx2),
+            jnp.floor((mc.x_stop[2] - x2g) / dx2),
         ).astype(jnp.int32)
-        l_e = jnp.log(jnp.maximum(p.e, 1e-30))
+        l_e = jnp.log(jnp.maximum(e, 1e-30))
         i_e = (
             jnp.floor((l_e - consts.spectrum.L_E_0) / consts.spectrum.D_L_E + 2.5).astype(
                 jnp.int32
@@ -659,25 +705,24 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
             - 2
         )
         in_bins = (ix2 >= 0) & (ix2 < consts.N_TH_BINS) & (i_e >= 0) & (i_e < consts.N_E_BINS)
-        ok = rec & in_bins
+        ok = valid & in_bins
 
         idx = jnp.where(ok, ix2 * consts.N_E_BINS + i_e, DUMP_BIN)
-        w = p.w
         vals = jnp.stack(
             [
                 w,
-                w * p.e,
+                w * e,
                 jnp.ones_like(w),
-                p.n_scatt.astype(dt),
-                w * p.x1i,
-                w * p.x2i * p.x2i,
-                w * p.x[3] * p.x[3],
-                w * p.tau_abs,
-                w * p.tau_scatt,
-                w * p.n_e_0,
-                w * p.theta_e_0,
-                w * p.b_0,
-                w * p.e_0,
+                nsc.astype(dt),
+                w * p.x1i[gi],
+                w * p.x2i[gi] * p.x2i[gi],
+                w * x3g * x3g,
+                w * p.tau_abs[gi],
+                w * p.tau_scatt[gi],
+                w * p.n_e_0[gi],
+                w * p.theta_e_0[gi],
+                w * p.b_0[gi],
+                w * p.e_0[gi],
             ],
             axis=-1,
         )
@@ -687,50 +732,61 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         counters = counters._replace(
             n_recorded=counters.n_recorded + jnp.sum(ok).astype(jnp.int64),
             n_scatt_rec=counters.n_scatt_rec
-            + jnp.sum(jnp.where(ok, p.n_scatt, 0)).astype(jnp.int64),
-            # max over all record-criterion lanes, not only in-bin ones
-            # (harm_model.cpp:1297-1299 updates before the bin-range checks).
+            + jnp.sum(jnp.where(ok, nsc, 0)).astype(jnp.int64),
+            # max over all record-criterion lanes processed this call, not
+            # only in-bin ones (harm_model.cpp:1297-1299 updates before the
+            # bin-range checks).
             max_tau_scatt=jnp.maximum(
-                counters.max_tau_scatt, jnp.max(jnp.where(rec, p.tau_scatt, 0.0))
+                counters.max_tau_scatt,
+                jnp.max(jnp.where(valid, p.tau_scatt[gi], 0.0)),
             ),
         )
-        # Free recorded (and unrecordable) lanes.
+        # Free the lanes processed this call (+ NaN-poisoned ones).
+        processed = jnp.zeros_like(rec).at[sidx].set(valid, mode="drop") | bad
         p = p._replace(
-            occupied=p.occupied & ~p.record_pending,
-            record_pending=jnp.zeros_like(p.record_pending),
+            occupied=p.occupied & ~processed,
+            record_pending=p.record_pending & ~processed,
         )
         return spec, counters, p
 
-    # Deferred scatter events are COMPACTED before the event physics: only
-    # a small fraction of the pool is at_event per periodic phase (scatter
-    # mean free paths are hundreds of steps), but the tetrad build + the
-    # electron/KN rejection samplers are the most expensive math in the
-    # engine — running them pool-wide made the periodic phase cost as much
-    # as 32 hot iterations (TPU profile: ~24 ms of a 43 ms slice at
-    # pool=65536).  Gather the at_event lanes into an EV_K-wide working set,
-    # run the event there, scatter results back.  Events beyond EV_K simply
-    # stay at_event until the next phase — at_event lanes are frozen, so
-    # deferral is semantically free (the reference processes scatters one
-    # photon at a time with the same event-time state).
+    # The periodic phase runs everything COMPACTED: each of its jobs
+    # (scatter events, spectrum recording, fresh-lane init) touches only a
+    # small fraction of the pool per phase, but the naive pool-wide
+    # formulation made the phase cost as much as 32 hot iterations (TPU
+    # profile: ~24 ms of a 43 ms slice at pool=65536 for the scatter
+    # samplers alone).  Lanes beyond a job's compaction width simply stay
+    # flagged until the next phase — at_event/record_pending lanes are
+    # frozen, and the refill cap below bounds fresh lanes — so compaction
+    # is semantically free (the reference processes these one photon at a
+    # time with the same event-time state).
+    #
+    # Compaction is expressed as cumsum-rank + row scatter (the same
+    # primitives the refill path uses) rather than jnp.nonzero(size=K):
+    # nonzero lowers through bincount into a pair-scan whose scoped-VMEM
+    # scratch blows the 16 MB TPU limit at production pool sizes (observed
+    # compile OOM: "reduce-window ... 19.10M ... limit 16.00M").
     EV_K = min(cfg.n_pool, max(256, cfg.n_pool // 8))
+
+    def compact_idx(mask, k):
+        """First-k lane indices where mask, ascending; k-padded.
+
+        Returns (valid, gi, sidx): validity mask, gather indices (clamped
+        for reads), scatter indices (pool-size padded for mode="drop").
+        """
+        rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+        slot = jnp.where(mask & (rank < k), rank, k)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (cfg.n_pool,), 0)
+        idx = jnp.full((k,), cfg.n_pool, jnp.int32).at[slot].set(
+            lane, mode="drop")
+        valid = idx < cfg.n_pool
+        gi = jnp.minimum(idx, cfg.n_pool - 1)
+        sidx = jnp.where(valid, idx, cfg.n_pool)
+        return valid, gi, sidx
 
     def process_scatters(key, p: Pool, sec: SecBuf, counters):
         """Run deferred scatter events (compacted); pack secondaries."""
         ev = p.at_event
-        # Compact the first EV_K event-lane indices, ascending.  Expressed
-        # as cumsum-rank + row scatter (the same primitives the refill path
-        # uses) rather than jnp.nonzero(size=EV_K): nonzero lowers through
-        # bincount into a pair-scan whose scoped-VMEM scratch blows the
-        # 16 MB TPU limit at production pool sizes (observed compile OOM:
-        # "reduce-window ... 19.10M ... limit 16.00M").
-        rank = jnp.cumsum(ev.astype(jnp.int32)) - 1
-        slot = jnp.where(ev & (rank < EV_K), rank, EV_K)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (cfg.n_pool,), 0)
-        idx = jnp.full((EV_K,), cfg.n_pool, jnp.int32).at[slot].set(
-            lane, mode="drop")
-        valid = idx < cfg.n_pool
-        gi = jnp.minimum(idx, cfg.n_pool - 1)
-        sidx = jnp.where(valid, idx, cfg.n_pool)  # .at[... mode="drop"] pad
+        valid, gi, sidx = compact_idx(ev, EV_K)
 
         xg = (p.x[0][gi], p.x[1][gi], p.x[2][gi], p.x[3][gi])
         kg = (p.k[0][gi], p.k[1][gi], p.k[2][gi], p.k[3][gi])
@@ -803,13 +859,18 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         t_total = backlog_rows.shape[0]
 
         rank = jnp.cumsum(free.astype(jnp.int32)) - 1  # rank among free slots
+        # Cap loads per phase at EV_K so the fresh-lane init can run
+        # compacted (init_fresh); in steady state retirements per phase are
+        # far below the cap, and at wave start the pool just ramps over
+        # n_pool/EV_K phases instead of one.
+        capped = free & (rank < EV_K)
         n_sec = sec.count
-        from_sec = free & (rank < n_sec)
+        from_sec = capped & (rank < n_sec)
         sec_idx = jnp.clip(n_sec - 1 - rank, 0, sec.rows.shape[0] - 1)
 
         bl_off = rank - n_sec
         bl_idx = backlog_pos + jnp.maximum(bl_off, 0)
-        from_bl = free & (rank >= n_sec) & (bl_idx < t_total)
+        from_bl = capped & (rank >= n_sec) & (bl_idx < t_total)
         bl_idx = jnp.clip(bl_idx, 0, t_total - 1)
 
         load = from_sec | from_bl
@@ -854,6 +915,7 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
             pend_dl=pick(zero, p.pend_dl),
             dl_shrink=pick(jnp.ones_like(w), p.dl_shrink),
             sec_w=pick(zero, p.sec_w),
+            cell=jnp.where(load, -1, p.cell),  # cache invalid until init_fresh
             occupied=p.occupied | ok,
             alive=p.alive | ok,
             pend_push=p.pend_push & ~load,
@@ -870,22 +932,48 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         return p, sec, backlog_pos + n_from_bl, counters, ok
 
     def init_fresh(p: Pool, fresh, counters):
-        """Track-start initialisation (harm_model.cpp:902-915) for new lanes."""
-        conn = geometry.connection_c(p.x[1], p.x[2], a, hs)
-        dk0 = geometry.geodesic_rhs_c(conn, p.k[0], p.k[1], p.k[2], p.k[3])
+        """Track-start initialisation (harm_model.cpp:902-915), compacted.
 
-        g7, fl = eval_fluid(p)
-        theta, nu, a_sc, a_ab = eval_alphas(x_comps(p.k), fl)
+        ``fresh`` has at most EV_K set lanes (the refill cap), so the
+        connection/fluid/opacity evaluation runs on an EV_K-wide working
+        set instead of pool-wide.
+        """
+        valid, gi, sidx = compact_idx(fresh, EV_K)
+        xg = (p.x[0][gi], p.x[1][gi], p.x[2][gi], p.x[3][gi])
+        kg = (p.k[0][gi], p.k[1][gi], p.k[2][gi], p.k[3][gi])
+
+        conn = geometry.connection_c(xg[1], xg[2], a, hs)
+        dk0 = geometry.geodesic_rhs_c(conn, *kg)
+
+        g7, fl = eval_fluid_xy(xg[1], xg[2])
+        theta, nu, a_sc, a_ab = eval_alphas(kg, fl)
         inside = fl.n_e > 0.0
-        b0 = bias_func(fl.theta_e, p.w, counters)
+        b0 = bias_func(fl.theta_e, p.w[gi], counters)
 
-        return p._replace(
-            dkdlam=jnp.where(fresh[None, :], jnp.stack(dk0), p.dkdlam),
-            alpha_scatti=jnp.where(fresh, jnp.where(inside, a_sc, 0.0), p.alpha_scatti),
-            alpha_absi=jnp.where(fresh, jnp.where(inside, a_ab, 0.0), p.alpha_absi),
-            bi=jnp.where(fresh, jnp.where(inside, b0, 0.0), p.bi),
-            interacting=jnp.where(fresh, inside, p.interacting),
+        def put(dst, val):
+            return dst.at[sidx].set(jnp.where(valid, val, dst[gi]), mode="drop")
+
+        p = p._replace(
+            dkdlam=jnp.stack([put(p.dkdlam[m], dk0[m]) for m in range(4)]),
+            alpha_scatti=put(p.alpha_scatti, jnp.where(inside, a_sc, 0.0)),
+            alpha_absi=put(p.alpha_absi, jnp.where(inside, a_ab, 0.0)),
+            bi=put(p.bi, jnp.where(inside, b0, 0.0)),
+            interacting=put(p.interacting, inside),
         )
+        if cfg.fluid_cache:
+            # Prime the corner-row cache so fresh lanes never hit the
+            # hot-step refresh with a stale/garbage row.
+            ii, jj, _, _ = geometry.x_to_ij_c(
+                xg[1], xg[2], mc.x_start, mc.dx, (mc.n1, mc.n2))
+            zf = (ii * mc.n2 + jj).astype(jnp.int32)
+            rows_f = corner_rows[jnp.where(valid, zf, 0)]
+            p = p._replace(
+                frow=p.frow.at[:, sidx].set(
+                    jnp.where(valid, rows_f.T, p.frow[:, gi]), mode="drop"),
+                cell=p.cell.at[sidx].set(
+                    jnp.where(valid, zf, p.cell[gi]), mode="drop"),
+            )
+        return p
 
     def periodic_phase(state: State, backlog_rows) -> State:
         p, spec, counters, sec = state.pool, state.spec, state.counters, state.sec
@@ -933,6 +1021,14 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
 
     # ------------------------------------------------------------------
     # drivers
+    #
+    # Carry-structure note (negative result, kept for the record): a TPU
+    # profile shows the hot iteration issuing dozens of small HBM<->VMEM
+    # copy-start/done pairs for the ~35 carried pool arrays.  Packing the
+    # pool into three wide arrays (f32/i32/bool rows) around the inner
+    # fori_loop was tried and LOST (slice 0.78 -> 1.16 ms/iter on a real
+    # v5e): XLA already overlaps the small carry copies with compute, and
+    # the pack/unpack materialization adds ~15 MB/iter of real traffic.
     # ------------------------------------------------------------------
     def run(state: State, backlog_rows) -> State:
         t_total = backlog_rows.shape[0]
@@ -951,8 +1047,19 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
 
         state = lax.while_loop(cond, body, state)
         # Final flush of any pending records (all lanes are dead here).
-        p, spec, counters = state.pool, state.spec, state.counters
-        spec, counters, p = spectrum_add(spec, counters, p)
+        # spectrum_add drains at most EV_K lanes per call, so loop.
+        def flush_cond(s):
+            spec, counters, p = s
+            return jnp.any(p.record_pending)
+
+        def flush_body(s):
+            spec, counters, p = s
+            return spectrum_add(spec, counters, p)
+
+        spec, counters, p = lax.while_loop(
+            flush_cond, flush_body,
+            (state.spec, state.counters, state.pool),
+        )
         return state._replace(pool=p, spec=spec, counters=counters)
 
     def fresh_state(key):

@@ -41,3 +41,35 @@ def test_engine_vmem_gather_spectrum_identical(tmp_path):
         spec, stats = sim.run()
         specs.append(np.asarray(spec))
     np.testing.assert_allclose(specs[0], specs[1], rtol=1e-6)
+
+
+def test_device_emission_matches_host_distribution(tmp_path):
+    """The accelerator-side emission path (log-space accept tests, engine
+    dtype) produces the same photon population as the host f64 path."""
+    from grmonty_tpu.models import torus
+    from grmonty_tpu.transport import driver, engine as engine_mod
+
+    path = str(tmp_path / "torus_dump")
+    torus.write_torus_dump(path, n1=64, n2=32)
+    cfg = engine_mod.EngineConfig(n_pool=256, dtype=jnp.float32)
+    sim = driver.Simulation(path, photon_n=4000, mass_unit=4.0e18,
+                            config=cfg, emit_chunk=4096, warmup=0)
+    plan = sim.plan()
+    n = min(4096, plan.total)
+
+    host_rows = sim.emit_packed_host(plan, 0, 4096, n)
+    dev_rows, _ = sim.emit_packed_dev(plan, 0, n)
+    dev_rows = np.asarray(dev_rows)
+
+    hw, dw = host_rows[:, 8], dev_rows[:, 8]
+    # host path scales weights on the host; device path folds ln(scale) in
+    assert (hw > 0).sum() > 100 and (dw > 0).sum() > 100
+    # same zones -> same positions row-for-row (position is deterministic)
+    np.testing.assert_allclose(dev_rows[:n, 1], host_rows[:n, 1], rtol=1e-5)
+    # photon frequency/energy distributions agree statistically (different
+    # RNG draws): compare medians of ln(e) over live rows
+    he = np.log(host_rows[hw > 0, 9])
+    de = np.log(dev_rows[dw > 0, 9])
+    assert abs(np.median(he) - np.median(de)) < 0.7
+    # total emitted weight agrees to MC accuracy
+    assert abs(np.log(hw.sum() / dw.sum())) < 0.3

@@ -41,10 +41,10 @@ def main():
         fp_iters=int(os.environ.get("MICRO_FP_ITERS", "2")),
         interp_geom=os.environ.get("MICRO_INTERP", "0") == "1",
     )
-    sim = driver.Simulation(dump, photon_n=200_000, mass_unit=4e19,
-                            config=cfg, emit_chunk=pool * 2)
+    sim = driver.Simulation(dump, photon_n=500_000, mass_unit=4e19,
+                            config=cfg, emit_chunk=pool * 8)
     plan = sim.plan()
-    backlog = sim.emit_packed(plan, 0, pool * 2)
+    backlog = sim.emit_packed(plan, 0, pool * 8)
     state = sim.engine["fresh_state"](random.PRNGKey(0))
     state = jax.jit(sim.engine["periodic_phase"])(state, backlog)
     state = sim._run_jit(state, backlog)
