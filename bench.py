@@ -60,7 +60,7 @@ def main():
     cfg = engine.EngineConfig(
         n_pool=pool,
         m_period=int(os.environ.get("BENCH_PERIOD", "32")),
-        sec_cap=4 * pool,
+        sec_cap=pool,
         stall_steps=stall,
         dtype=dtype,
         fp_iters=int(os.environ.get("BENCH_FP_ITERS", "2")),

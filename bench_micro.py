@@ -46,7 +46,7 @@ def main():
 
     cfg = engine.EngineConfig(
         n_pool=pool, m_period=int(os.environ.get("MICRO_PERIOD", "32")),
-        sec_cap=4 * pool, stall_steps=150000,
+        sec_cap=pool, stall_steps=150000,
         dtype=dtype, fp_iters=int(os.environ.get("MICRO_FP_ITERS", "2")),
         interp_geom=os.environ.get("MICRO_INTERP", "0") == "1",
         dbg_skip=os.environ.get("MICRO_SKIP", ""),

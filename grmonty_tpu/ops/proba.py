@@ -37,6 +37,13 @@ _STALL_ITERS = 64  # rounds between anti-stall theta_e halvings
 # next to the MC noise (validated by the sampler-distribution tests).
 _MAX_ELECTRON_ITERS = 64
 _ELECTRON_STALL_ITERS = 32
+# Round caps for the deferring event samplers (engine periodic phase): a
+# lane that fails all rounds is NOT truncated — its event retries at the
+# next phase with a fresh key, so small caps bound per-phase cost without
+# touching the distribution.
+_ELECTRON_CAP_DEFER = 16
+_KN_CAP_DEFER = 16
+_THOMSON_CAP = 16
 
 
 def sample_y_distr(key, theta_e):
@@ -194,51 +201,91 @@ def sample_electron_distr_p(key, k, theta_e):
     return jnp.concatenate([gamma_e[..., None], p_spatial], axis=-1)
 
 
-def sample_electron_distr_p_c(key, k, theta_e):
+def sample_electron_distr_p_c(key, k, theta_e, force=None,
+                              cap=_ELECTRON_CAP_DEFER):
     """Component-form :func:`sample_electron_distr_p` for the hot path.
 
     ``k``: 4-tuple of (N,) tetrad-frame wave-vector components.
-    Returns the electron 4-momentum as a 4-tuple.
+    Returns ``(p_tuple, ok)``: the electron 4-momentum as a 4-tuple and a
+    per-lane acceptance mask.
+
+    TPU redesign of the reference's nested rejection (proba.cpp:30-112,
+    which loops {draw MJ electron via its own rejection loop; accept with
+    prob sigma_KN}): ONE flat loop whose proposal is (chi2-mixture y,
+    flux-weighted mu) and whose acceptance is the product of the
+    Maxwell-Juettner correction and the KN test.  The accepted joint
+    density is proposal x both acceptance factors — identical to the
+    nested version — but each round is one fused batch body instead of a
+    nested while_loop with its own all-lane reductions, and the round cap
+    can be small: lanes not accepted within ``cap`` rounds report
+    ok=False and the caller DEFERS the event to the next periodic phase
+    (a fresh key), so the cap truncates nothing.  ``force`` lanes accept
+    their final proposal at the cap (the anti-stall escalation after
+    repeated defers; the reference's analogue halves theta_e after 1e7
+    scalar tries, proba.cpp:59-64).
     """
     shape = theta_e.shape
     dtype = theta_e.dtype
     k0c, k1c, k2c, k3c = k
+    if force is None:
+        force = jnp.zeros(shape, bool)
+
+    pi_3 = math.sqrt(PI) / 4.0 * jnp.ones_like(theta_e)
+    pi_4 = jnp.sqrt(0.5 * theta_e) / 2.0
+    pi_5 = 3.0 * math.sqrt(PI) * theta_e / 8.0
+    pi_6 = theta_e * jnp.sqrt(0.5 * theta_e)
+    s3 = pi_3 + pi_4 + pi_5 + pi_6
+    c1 = pi_3 / s3
+    c2 = (pi_3 + pi_4) / s3
+    c3 = (pi_3 + pi_4 + pi_5) / s3
 
     def body(state):
-        key, th_e, gamma, beta, mu, accepted, it = state
-        key, k1, k2, k3 = random.split(key, 4)
-        g_new, b_new = sample_beta_distr(k1, th_e)
-        mu_new = jnp.clip(sample_mu_distr(k2, b_new), -1.0, 1.0)
+        key, gamma, beta, mu, accepted, it = state
+        key, k1, k2, k3, k4, k5 = random.split(key, 6)
+        x1 = random.uniform(k1, shape, dtype)
+        dof = jnp.where(
+            x1 < c1, 3, jnp.where(x1 < c2, 4, jnp.where(x1 < c3, 5, 6))
+        )
+        nrm = random.normal(k2, (6,) + shape, dtype)
+        use = jax.lax.broadcasted_iota(jnp.int32, (6,) + shape, 0) < dof[None, ...]
+        y_new = jnp.sqrt(jnp.sum(jnp.where(use, nrm * nrm, 0.0), axis=0) / 2.0)
+
+        num = jnp.sqrt(1.0 + 0.5 * theta_e * y_new * y_new)
+        den = 1.0 + y_new * jnp.sqrt(0.5 * theta_e)
+        accept_y = random.uniform(k3, shape, dtype) < num / den
+
+        g_new = y_new * y_new * theta_e + 1.0
+        b_new = jnp.sqrt(1.0 - 1.0 / (g_new * g_new))
+        mu_new = jnp.clip(sample_mu_distr(k4, b_new), -1.0, 1.0)
 
         k_eff = g_new * (1.0 - b_new * mu_new) * k0c
         sigma_kn = _sigma_kn_total(k_eff)
-        accept = random.uniform(k3, shape, dtype) < sigma_kn
+        accept_kn = random.uniform(k5, shape, dtype) < sigma_kn
 
-        take = (accept | (it + 1 >= _MAX_ELECTRON_ITERS)) & ~accepted
+        accept = accept_y & accept_kn
+        take = (accept | ((it + 1 >= cap) & force)) & ~accepted
         gamma = jnp.where(take, g_new, gamma)
         beta = jnp.where(take, b_new, beta)
         mu = jnp.where(take, mu_new, mu)
-        stall = ((it + 1) % _ELECTRON_STALL_ITERS == 0) & ~(accepted | accept)
-        th_e = jnp.where(stall, th_e * 0.5, th_e)
-        return key, th_e, gamma, beta, mu, accepted | take, it + 1
+        return key, gamma, beta, mu, accepted | take, it + 1
 
     def cond(state):
         *_, accepted, it = state
-        return (~jnp.all(accepted)) & (it < _MAX_ELECTRON_ITERS)
+        return (~jnp.all(accepted)) & (it < cap)
 
     init = (
-        key, theta_e,
+        key,
         jnp.ones(shape, dtype), jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
         jnp.zeros(shape, bool), 0,
     )
-    key, _, gamma_e, beta_e, mu, _, _ = lax.while_loop(cond, body, init)
+    key, gamma_e, beta_e, mu, ok, _ = lax.while_loop(cond, body, init)
 
     key, kd, kp = random.split(key, 3)
     c_th, s_th = mu, jnp.sqrt(1.0 - mu * mu)
     phi = random.uniform(kp, shape, dtype) * 2.0 * PI
     dx, dy, dz = _dir_about_axis_c((k1c, k2c, k3c), kd, c_th, s_th, phi, shape, dtype)
     gb = gamma_e * beta_e
-    return (gamma_e, gb * dx, gb * dy, gb * dz)
+    return (gamma_e, gb * dx, gb * dy, gb * dz), ok
 
 
 def _dir_about_axis_c(axis, key_dir, c_th, s_th, phi, shape, dtype):
@@ -296,7 +343,40 @@ def sample_klein_nishina(key, k0):
     return k0p
 
 
-def sample_thomson(key, shape, dtype):
+def sample_klein_nishina_c(key, k0, force=None, cap=_KN_CAP_DEFER):
+    """Deferring-capped :func:`sample_klein_nishina` for the engine's
+    periodic event phase: returns ``(k0p, ok)``.  Lanes not accepted
+    within ``cap`` rounds report ok=False (the caller defers the whole
+    scatter event to the next phase); ``force`` lanes take their final
+    tentative draw at the cap instead."""
+    shape = k0.shape
+    dtype = k0.dtype
+    if force is None:
+        force = jnp.zeros(shape, bool)
+    k0pmin = k0 / (1.0 + 2.0 * k0)
+    k0pmax = k0
+    envelope = 2.0 * (1.0 + 2.0 * k0 + 2.0 * k0 * k0) / (k0 * k0 * (1.0 + 2.0 * k0))
+
+    def body(state):
+        key, k0p, accepted, it = state
+        key, k1, k2 = random.split(key, 3)
+        tent = k0pmin + (k0pmax - k0pmin) * random.uniform(k1, shape, dtype)
+        x1 = envelope * random.uniform(k2, shape, dtype)
+        accept = x1 < klein_nishina(k0, tent)
+        take = (accept | ((it + 1 >= cap) & force)) & ~accepted
+        k0p = jnp.where(take, tent, k0p)
+        return key, k0p, accepted | take, it + 1
+
+    def cond(state):
+        _, _, accepted, it = state
+        return (~jnp.all(accepted)) & (it < cap)
+
+    _, k0p, ok, _ = lax.while_loop(
+        cond, body, (key, k0pmax, jnp.zeros(shape, bool), 0))
+    return k0p, ok
+
+
+def sample_thomson(key, shape, dtype, cap=_MAX_REJECT_ITERS):
     """Scattering cosine from the Thomson phase function (proba.cpp:191-200)."""
 
     def body(state):
@@ -310,7 +390,7 @@ def sample_thomson(key, shape, dtype):
 
     def cond(state):
         _, _, accepted, it = state
-        return (~jnp.all(accepted)) & (it < _MAX_REJECT_ITERS)
+        return (~jnp.all(accepted)) & (it < cap)
 
     _, c_th, _, _ = lax.while_loop(
         cond, body, (key, jnp.zeros(shape, dtype), jnp.zeros(shape, bool), 0)

@@ -85,11 +85,16 @@ class ScatterResultC(typing.NamedTuple):
     k_sec: tuple  # 4x (N,) coordinate-frame secondary wave vector
     e_sec: jnp.ndarray
     l_sec: jnp.ndarray
+    sampled: jnp.ndarray  # (N,) bool: all rejection samplers accepted —
+    #   lanes with sampled=False must be DEFERRED to the next periodic
+    #   phase (retried with a fresh key), not consumed
 
 
-def sample_scattered_photon_c(key, k_tet, p):
+def sample_scattered_photon_c(key, k_tet, p, force=None):
     """Component-form :func:`sample_scattered_photon`; ``k_tet``/``p``
-    are 4-tuples of (N,) arrays."""
+    are 4-tuples of (N,) arrays.  Returns ``(k_tet_p, ok)`` where ok
+    reports KN-sampler acceptance within the deferring round cap (cold
+    Thomson lanes are always ok; see proba.sample_klein_nishina_c)."""
     shape = k_tet[0].shape
     dtype = k_tet[0].dtype
 
@@ -98,9 +103,9 @@ def sample_scattered_photon_c(key, k_tet, p):
 
     key, k_kn, k_th, k_dir, k_phi = random.split(key, 5)
     k0_safe = jnp.maximum(ke0, 1.0e-4)
-    k0p_kn = proba.sample_klein_nishina(k_kn, k0_safe)
+    k0p_kn, ok_kn = proba.sample_klein_nishina_c(k_kn, k0_safe, force=force)
     c_th_kn = 1.0 - 1.0 / k0p_kn + 1.0 / k0_safe
-    c_th_t = proba.sample_thomson(k_th, shape, dtype)
+    c_th_t = proba.sample_thomson(k_th, shape, dtype, cap=proba._THOMSON_CAP)
 
     hot = ke0 > 1.0e-4
     k0p = jnp.where(hot, k0p_kn, ke0)
@@ -114,10 +119,11 @@ def sample_scattered_photon_c(key, k_tet, p):
     kpe = (k0p, k0p * dx, k0p * dy, k0p * dz)
 
     p_rev = (p[0], -p[1], -p[2], -p[3])
-    return tetrads.boost_c(kpe, p_rev)
+    return tetrads.boost_c(kpe, p_rev), ok_kn | ~hot
 
 
-def scatter_event_c(key, k_coord, fl, g7, b_unit, active=None) -> ScatterResultC:
+def scatter_event_c(key, k_coord, fl, g7, b_unit, active=None,
+                    force=None) -> ScatterResultC:
     """Component-form :func:`scatter_event` (harm_model.cpp:1071-1145).
 
     ``k_coord``: 4-tuple of (N,) wave-vector components; ``fl``: FluidC at
@@ -126,6 +132,12 @@ def scatter_event_c(key, k_coord, fl, g7, b_unit, active=None) -> ScatterResultC
     sampler inputs so they accept immediately — otherwise a single
     high-energy bystander lane (sigma_KN ~ 1e-2) drags every masked
     rejection loop to its round cap, which the whole batch pays.
+
+    The rejection samplers run with small round caps; a lane that fails a
+    cap comes back with ``sampled=False`` and must be retried at the next
+    periodic phase (the engine keeps it at_event).  ``force`` lanes accept
+    their final draw at the caps (anti-stall escalation after repeated
+    defers).
     """
     k0 = k_coord[0]
     parent_die = (
@@ -165,8 +177,10 @@ def scatter_event_c(key, k_coord, fl, g7, b_unit, active=None) -> ScatterResultC
         jnp.where(guard, 0.0, k_tet[3]),
     )
     theta_safe = jnp.maximum(fl.theta_e, 1e-4)
-    p_el = proba.sample_electron_distr_p_c(k_el, k_tet_safe, theta_safe)
-    k_tet_p = sample_scattered_photon_c(k_sc, k_tet_safe, p_el)
+    p_el, ok_el = proba.sample_electron_distr_p_c(
+        k_el, k_tet_safe, theta_safe, force=force)
+    k_tet_p, ok_kn = sample_scattered_photon_c(
+        k_sc, k_tet_safe, p_el, force=force)
 
     k_sec = tetrads.tetrad_to_coordinate_c(e_con, k_tet_p)
     sec_w_zero = jnp.isnan(k_sec[1])
@@ -178,8 +192,11 @@ def scatter_event_c(key, k_coord, fl, g7, b_unit, active=None) -> ScatterResultC
     e_sec = -tmp[0]
     l_sec = tmp[3]
 
+    # Guarded/invalid lanes never defer (their event resolves as a
+    # parent-death or no-secondary outcome regardless of sampler luck).
+    sampled = ok_el & ok_kn | guard
     made = ~(parent_die | invalid_frame | sec_w_zero)
-    return ScatterResultC(parent_die, made, k_sec, e_sec, l_sec)
+    return ScatterResultC(parent_die, made, k_sec, e_sec, l_sec, sampled)
 
 
 def scatter_event(key, k_coord, fluid, g_cov, b_unit) -> ScatterResult:

@@ -517,7 +517,11 @@ class Simulation:
                 gi = jnp.asarray(gather)
                 vm = jnp.asarray(valid)
 
-                small = jax.tree.map(lambda a: a[..., gi], state.pool)
+                # (zero-sized fields — the disabled fluid-cache arrays —
+                # pass through untouched)
+                small = jax.tree.map(
+                    lambda a: a if a.shape[-1] == 0 else a[..., gi],
+                    state.pool)
                 small = small._replace(
                     occupied=small.occupied & vm,
                     alive=small.alive & vm,
@@ -557,7 +561,8 @@ class Simulation:
                     upd = {}
                     for f in wide_h._fields:
                         arr = getattr(wide_h, f).copy()
-                        arr[..., free] = getattr(leftover, f)[..., li]
+                        if arr.shape[-1]:
+                            arr[..., free] = getattr(leftover, f)[..., li]
                         upd[f] = jnp.asarray(arr)
                     wide = engine_mod.Pool(**upd)
                 state = state._replace(

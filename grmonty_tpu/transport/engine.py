@@ -162,6 +162,8 @@ class Pool(typing.NamedTuple):
     cell: jnp.ndarray  # (N,) int32 cell id the cache was gathered for (-1 none)
     n_scatt: jnp.ndarray  # int32
     n_step: jnp.ndarray  # int32
+    ev_tries: jnp.ndarray  # int32: periodic phases this lane's scatter event
+    #   has been deferred by sampler round caps (see process_scatters)
     occupied: jnp.ndarray  # slot holds a photon (possibly awaiting record)
     alive: jnp.ndarray  # still being tracked
     interacting: jnp.ndarray  # opacity coupling still possible
@@ -197,18 +199,23 @@ class State(typing.NamedTuple):
     it: jnp.ndarray  # int32 hot-iteration counter
 
 
-def empty_pool(n, dtype):
+def empty_pool(n, dtype, fluid_cache=False):
     z = lambda: jnp.zeros((n,), dtype)
     zi = lambda: jnp.zeros((n,), jnp.int32)
     zb = lambda: jnp.zeros((n,), bool)
     z4 = lambda: jnp.zeros((4, n), dtype)
+    # The corner-row cache fields are allocated zero-sized unless the
+    # fluid_cache path is on: (32, N) f32 is 8 MB at the bench pool size,
+    # and a dead carry of that size still pays HBM<->VMEM traffic at every
+    # phase boundary of the hot while_loop.
+    nc = n if fluid_cache else 0
     return Pool(
         x=z4(), k=z4(), dkdlam=z4(), w=z(), e=z(), l=z(), x1i=z(), x2i=z(),
         tau_abs=z(), tau_scatt=z(), n_e_0=z(), theta_e_0=z(), b_0=z(), e_0=z(),
         e_0_s=z(), alpha_scatti=z(), alpha_absi=z(), bi=z(), pend_dl=z(),
         dl_shrink=jnp.ones((n,), dtype), sec_w=z(),
-        frow=jnp.zeros((32, n), dtype), cell=jnp.full((n,), -1, jnp.int32),
-        n_scatt=zi(), n_step=zi(),
+        frow=jnp.zeros((32, nc), dtype), cell=jnp.full((nc,), -1, jnp.int32),
+        n_scatt=zi(), n_step=zi(), ev_tries=zi(),
         occupied=zb(), alive=zb(), interacting=zb(), pend_push=zb(),
         at_event=zb(), record_pending=zb(),
     )
@@ -784,17 +791,37 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         return valid, gi, sidx
 
     def process_scatters(key, p: Pool, sec: SecBuf, counters):
-        """Run deferred scatter events (compacted); pack secondaries."""
+        """Run deferred scatter events (compacted); pack secondaries.
+
+        The rejection samplers inside the event run with small round caps
+        (proba._ELECTRON_CAP_DEFER / _KN_CAP_DEFER): a lane whose samplers
+        did not all accept stays at_event and retries next phase with a
+        fresh key — so per-phase sampler cost is bounded with NO
+        distribution truncation.  ``ev_tries`` counts the defers; the
+        anti-stall escalation halves the sampler theta_e every 2 defers
+        (the reference halves after 1e7 scalar tries, proba.cpp:59-64)
+        and force-accepts the final draw after 4 (>= 64 total rounds,
+        matching the old single-phase cap behavior).
+        """
         ev = p.at_event
         valid, gi, sidx = compact_idx(ev, EV_K)
 
         xg = (p.x[0][gi], p.x[1][gi], p.x[2][gi], p.x[3][gi])
         kg = (p.k[0][gi], p.k[1][gi], p.k[2][gi], p.k[3][gi])
         wg = p.w[gi]
+        tries_g = p.ev_tries[gi]
+        force_g = valid & (tries_g >= 4)
 
         g7, fl = eval_fluid_xy(xg[1], xg[2])
-        res = scattering.scatter_event_c(key, kg, fl, g7, mc.b_unit, active=valid)
+        fl_s = fl._replace(
+            theta_e=fl.theta_e * jnp.exp2(-(tries_g // 2).astype(dt)))
+        res = scattering.scatter_event_c(key, kg, fl_s, g7, mc.b_unit,
+                                         active=valid, force=force_g)
 
+        # Only lanes whose samplers all accepted consume their event;
+        # the rest defer (stay at_event) and retry next phase.
+        defer_g = valid & ~(res.sampled | res.parent_die)
+        valid = valid & ~defer_g
         parent_die = valid & res.parent_die
         make = valid & res.made & (fl.n_e > 0.0) & ~res.parent_die
 
@@ -819,6 +846,9 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
             alive=p.alive & ~jnp.zeros_like(ev).at[sidx].set(parent_die, mode="drop"),
             occupied=p.occupied & ~jnp.zeros_like(ev).at[sidx].set(parent_die, mode="drop"),
             at_event=ev & ~processed,
+            ev_tries=p.ev_tries.at[sidx].set(
+                jnp.where(defer_g, tries_g + 1,
+                          jnp.where(valid, 0, tries_g)), mode="drop"),
         )
 
         # Pack secondaries at sec.count + prefix ranks (one row scatter).
@@ -853,31 +883,44 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         """Fill free slots: secondaries (LIFO) first, then backlog primaries.
 
         Two packed-row gathers replace the 13 per-field gathers of a naive
-        SoA refill.
+        SoA refill, and both run EV_K-wide on the compacted set of loading
+        lanes (a TPU profile showed the previous pool-wide double gather —
+        2 x n_pool row fetches from the secondary buffer AND the backlog,
+        then a select — was ~10% of the whole periodic phase; only <=EV_K
+        lanes can load per phase by construction).
         """
         free = ~p.occupied
         t_total = backlog_rows.shape[0]
 
-        rank = jnp.cumsum(free.astype(jnp.int32)) - 1  # rank among free slots
         # Cap loads per phase at EV_K so the fresh-lane init can run
         # compacted (init_fresh); in steady state retirements per phase are
         # far below the cap, and at wave start the pool just ramps over
         # n_pool/EV_K phases instead of one.
-        capped = free & (rank < EV_K)
+        valid_g, gi_g, sidx_g = compact_idx(free, EV_K)
+        # compact_idx keeps lane order, so working-set entry j is the j-th
+        # free lane: its rank among free slots is j.
+        rank_g = jax.lax.broadcasted_iota(jnp.int32, (EV_K,), 0)
         n_sec = sec.count
-        from_sec = capped & (rank < n_sec)
-        sec_idx = jnp.clip(n_sec - 1 - rank, 0, sec.rows.shape[0] - 1)
+        from_sec_g = valid_g & (rank_g < n_sec)
+        sec_idx_g = jnp.clip(n_sec - 1 - rank_g, 0, sec.rows.shape[0] - 1)
 
-        bl_off = rank - n_sec
-        bl_idx = backlog_pos + jnp.maximum(bl_off, 0)
-        from_bl = capped & (rank >= n_sec) & (bl_idx < t_total)
-        bl_idx = jnp.clip(bl_idx, 0, t_total - 1)
+        bl_off_g = rank_g - n_sec
+        bl_idx_g = backlog_pos + jnp.maximum(bl_off_g, 0)
+        from_bl_g = valid_g & (rank_g >= n_sec) & (bl_idx_g < t_total)
+        bl_idx_g = jnp.clip(bl_idx_g, 0, t_total - 1)
+        load_g = from_sec_g | from_bl_g
 
-        load = from_sec | from_bl
+        rows_g = jnp.where(
+            from_sec_g[:, None], sec.rows[sec_idx_g], backlog_rows[bl_idx_g]
+        )  # (EV_K, 16)
 
-        rows = jnp.where(
-            from_sec[:, None], sec.rows[sec_idx], backlog_rows[bl_idx]
-        ).T  # (16, N): components into the sublane dim
+        # Scatter the compact rows to lane positions, then merge pool-wide
+        # with cheap elementwise selects.
+        load = jnp.zeros_like(free).at[sidx_g].set(load_g, mode="drop")
+        from_sec = jnp.zeros_like(free).at[sidx_g].set(from_sec_g, mode="drop")
+        from_bl = jnp.zeros_like(free).at[sidx_g].set(from_bl_g, mode="drop")
+        rows = jnp.zeros((cfg.n_pool, ROW_WIDTH), dt).at[sidx_g].set(
+            rows_g, mode="drop").T  # (16, N): components into the sublane dim
 
         x_new = rows[0:4]
         k_new = rows[4:8]
@@ -912,10 +955,12 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
             tau_scatt=pick(zero, p.tau_scatt),
             n_scatt=jnp.where(load, rows[ROW_NSCATT].astype(jnp.int32), p.n_scatt),
             n_step=jnp.where(load, 0, p.n_step),
+            ev_tries=jnp.where(load, 0, p.ev_tries),
             pend_dl=pick(zero, p.pend_dl),
             dl_shrink=pick(jnp.ones_like(w), p.dl_shrink),
             sec_w=pick(zero, p.sec_w),
-            cell=jnp.where(load, -1, p.cell),  # cache invalid until init_fresh
+            cell=(jnp.where(load, -1, p.cell) if cfg.fluid_cache
+                  else p.cell),  # cache invalid until init_fresh
             occupied=p.occupied | ok,
             alive=p.alive | ok,
             pend_push=p.pend_push & ~load,
@@ -923,22 +968,30 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
             record_pending=p.record_pending & ~load,
         )
 
-        n_from_sec = jnp.sum(from_sec).astype(jnp.int32)
-        n_from_bl = jnp.sum(from_bl).astype(jnp.int32)
+        n_from_sec = jnp.sum(from_sec_g).astype(jnp.int32)
+        n_from_bl = jnp.sum(from_bl_g).astype(jnp.int32)
         sec = sec._replace(count=sec.count - n_from_sec)
         counters = counters._replace(
             n_created=counters.n_created + n_from_bl.astype(jnp.int64)
         )
-        return p, sec, backlog_pos + n_from_bl, counters, ok
+        # Hand init_fresh the already-compacted fresh set so it does not
+        # pay a second pool-wide compact_idx pass.
+        bad_g = (
+            jnp.any(jnp.isnan(rows_g[:, 0:8]), axis=1)
+            | (rows_g[:, ROW_W] == 0.0)
+        )
+        fresh_c = (load_g & ~bad_g, sidx_g)
+        return p, sec, backlog_pos + n_from_bl, counters, fresh_c
 
-    def init_fresh(p: Pool, fresh, counters):
+    def init_fresh(p: Pool, fresh_c, counters):
         """Track-start initialisation (harm_model.cpp:902-915), compacted.
 
-        ``fresh`` has at most EV_K set lanes (the refill cap), so the
-        connection/fluid/opacity evaluation runs on an EV_K-wide working
-        set instead of pool-wide.
+        ``fresh_c = (valid, sidx)`` is refill's already-compacted load set
+        (at most EV_K lanes), so the connection/fluid/opacity evaluation
+        runs on an EV_K-wide working set with no extra compaction pass.
         """
-        valid, gi, sidx = compact_idx(fresh, EV_K)
+        valid, sidx = fresh_c
+        gi = jnp.minimum(sidx, cfg.n_pool - 1)
         xg = (p.x[0][gi], p.x[1][gi], p.x[2][gi], p.x[3][gi])
         kg = (p.k[0][gi], p.k[1][gi], p.k[2][gi], p.k[3][gi])
 
@@ -1064,7 +1117,7 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
 
     def fresh_state(key):
         return State(
-            pool=empty_pool(cfg.n_pool, dt),
+            pool=empty_pool(cfg.n_pool, dt, fluid_cache=cfg.fluid_cache),
             spec=jnp.zeros((N_BINS + 1, N_SPEC_CHAN), dt),
             counters=init_counters(mc.max_tau_scatt0, dt),
             sec=empty_secbuf(cfg.sec_cap, dt),

@@ -102,3 +102,47 @@ def test_electron_sampling_kn_suppresses_hot_electrons():
         proba.sample_electron_distr_p(random.PRNGKey(9), k_hard, jnp.full((n,), theta_e))[:, 0]
     ))
     assert g_hard < g_soft
+
+
+def test_flat_electron_sampler_matches_nested():
+    """The flat joint-acceptance sampler (sample_electron_distr_p_c, used by
+    the engine's deferring event phase) draws from the same distribution as
+    the nested reference-shaped rejection (sample_electron_distr_p):
+    proposal x P_MJ x P_KN == {y ~ MJ via inner loop} x P_KN."""
+    n = 120_000
+    for theta_e, k0 in [(0.5, 1e-3), (5.0, 1e-2), (20.0, 0.5)]:
+        th = jnp.full((n,), theta_e)
+        k = jnp.zeros((n, 4)).at[:, 0].set(k0).at[:, 1].set(k0)
+        p_ref = np.asarray(
+            proba.sample_electron_distr_p(random.PRNGKey(21), k, th))
+        kc = (k[:, 0], k[:, 1], k[:, 2], k[:, 3])
+        (g, px, py, pz), ok = proba.sample_electron_distr_p_c(
+            random.PRNGKey(22), kc, th, cap=256)
+        g = np.asarray(g)
+        ok = np.asarray(ok)
+        gr = p_ref[:, 0]
+        assert ok.mean() > 0.999
+        assert np.mean(g[ok]) == pytest.approx(np.mean(gr), rel=0.02)
+        assert np.std(g[ok]) == pytest.approx(np.std(gr), rel=0.03)
+        # pitch-angle cosine relative to the photon axis (x)
+        ps = np.stack([np.asarray(px), np.asarray(py), np.asarray(pz)], -1)
+        mu_new = ps[:, 0] / np.linalg.norm(ps, axis=-1)
+        pr = p_ref[:, 1:4]
+        mu_ref = pr[:, 0] / np.linalg.norm(pr, axis=-1)
+        assert np.mean(mu_new[ok]) == pytest.approx(np.mean(mu_ref), abs=0.01)
+
+
+def test_capped_kn_sampler_matches_uncapped():
+    """sample_klein_nishina_c at a generous cap reproduces the uncapped
+    KN energy distribution and reports near-full acceptance."""
+    n = 120_000
+    for k0v in (0.1, 1.0, 10.0):
+        k0 = jnp.full((n,), k0v)
+        ref = np.asarray(proba.sample_klein_nishina(random.PRNGKey(31), k0))
+        new, ok = proba.sample_klein_nishina_c(random.PRNGKey(32), k0, cap=256)
+        new = np.asarray(new)
+        ok = np.asarray(ok)
+        assert ok.mean() > 0.999
+        assert np.mean(new[ok]) == pytest.approx(np.mean(ref), rel=0.02)
+        assert np.quantile(new[ok], 0.9) == pytest.approx(
+            np.quantile(ref, 0.9), rel=0.03)

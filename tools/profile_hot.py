@@ -37,7 +37,7 @@ def main():
 
     cfg = engine.EngineConfig(
         n_pool=pool, m_period=int(os.environ.get("MICRO_PERIOD", "32")),
-        sec_cap=4 * pool, stall_steps=150000, dtype=jnp.float32,
+        sec_cap=pool, stall_steps=150000, dtype=jnp.float32,
         fp_iters=int(os.environ.get("MICRO_FP_ITERS", "2")),
         interp_geom=os.environ.get("MICRO_INTERP", "0") == "1",
     )

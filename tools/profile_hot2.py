@@ -51,7 +51,7 @@ def main():
         torus.write_torus_dump(path, n1=256, n2=256)
 
     cfg = engine.EngineConfig(
-        n_pool=POOL, m_period=16, sec_cap=4 * POOL, stall_steps=150000,
+        n_pool=POOL, m_period=16, sec_cap=POOL, stall_steps=150000,
         dtype=DTYPE, fp_iters=4,
     )
     sim = driver.Simulation(path, photon_n=200_000, mass_unit=4e19, config=cfg,
