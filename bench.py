@@ -66,9 +66,14 @@ def main():
         fp_iters=int(os.environ.get("BENCH_FP_ITERS", "2")),
     )
     dump = find_dump()
+    # One wave for the whole plan: emission is on-device (cheap) and every
+    # wave boundary drains the pool to wave_tail_exit with no refill —
+    # 17 waves of inter-wave drain cost ~2x the useful tracking time.
+    # At 1e6 photons the plan is ~16M rows = ~1 GB of f32 backlog on a
+    # 16 GB chip.
     sim = driver.Simulation(
         dump, photon_n=photon_n, mass_unit=4.0e19, config=cfg,
-        emit_chunk=1 << 20,
+        emit_chunk=int(os.environ.get("BENCH_EMIT_CHUNK", str(1 << 24))),
         slice_iters=int(os.environ.get("BENCH_SLICE", "1024")),
         # carry stragglers across waves instead of draining each wave's
         # pool tail at low occupancy

@@ -52,6 +52,8 @@ def main():
         dbg_skip=os.environ.get("MICRO_SKIP", ""),
         vmem_gather=os.environ.get("MICRO_VMEM_GATHER", "0") == "1",
         fluid_cache=os.environ.get("MICRO_FLUID_CACHE", "0") == "1",
+        pallas_hot=os.environ.get("MICRO_PALLAS", "0") == "1",
+        pallas_block=int(os.environ.get("MICRO_PALLAS_BLOCK", "8192")),
     )
     sim = driver.Simulation(dump, photon_n=500_000, mass_unit=4e19,
                             config=cfg, emit_chunk=pool * 8)

@@ -148,6 +148,15 @@ def synch_c(nu, n_e, theta_e, b, theta, k2_coeffs):
                           cheb.k2_eval(theta_e, k2_coeffs))
 
 
+def synch_sin_c(nu, n_e, theta_e, b, sin_th, k2_coeffs):
+    """:func:`synch_c` taking sin(theta) directly (no arccos/sin pair;
+    see radiation.kinematics_sin_c)."""
+    from grmonty_tpu.ops import cheb
+
+    return _synch_from_sin(nu, n_e, theta_e, b, sin_th,
+                           cheb.k2_eval(theta_e, k2_coeffs))
+
+
 def synch(nu, n_e, theta_e, b, theta, k2_table):
     """Angle-dependent thermal synchrotron emissivity j_nu (jnu_mixed.cpp:75-100).
 
@@ -157,12 +166,23 @@ def synch(nu, n_e, theta_e, b, theta, k2_table):
 
 
 def _synch_from_k2(nu, n_e, theta_e, b, theta, k2):
+    return _synch_from_sin(nu, n_e, theta_e, b, jnp.sin(theta), k2)
+
+
+def _cbrt_pos(x):
+    """cbrt for x >= 0 as exp(log(x)/3) — identical math on a positive
+    domain, but lowers through ops Mosaic implements (the fused Pallas
+    hot-step kernel evaluates the synchrotron emissivity in-kernel and
+    Mosaic has no cbrt primitive)."""
+    return jnp.exp(jnp.log(jnp.maximum(x, 1e-37)) * (1.0 / 3.0))
+
+
+def _synch_from_sin(nu, n_e, theta_e, b, sin_th, k2):
     nu_c = consts.EE * b / (2.0 * PI * consts.ME * consts.CL)
-    sin_th = jnp.sin(theta)
     nu_s = (2.0 / 9.0) * nu_c * theta_e * theta_e * sin_th
 
     x = nu / (nu_s + consts.EPS)
-    xp = jnp.cbrt(x)
+    xp = _cbrt_pos(x)
     xx = jnp.sqrt(x) + consts.jnu.CST * jnp.sqrt(xp)
     f = xx * xx
     val = (

@@ -54,7 +54,10 @@ def b_nu(nu, theta_e):
     # TPU f64 emulation supports (2h/c^2 alone is 1.47e-47 -> flushes to 0).
     pref = (2.0 * consts.HPL * nu) * (nu / consts.CL) * (nu / consts.CL)
     series = pref / (x / 24.0 * (24.0 + x * (12.0 + x * (4.0 + x))) + consts.EPS)
-    full = pref / (jnp.expm1(jnp.minimum(x, 80.0)) + consts.EPS)
+    # exp(x)-1 instead of expm1: the x < 1e-3 branch below uses the series
+    # anyway, so expm1's small-x accuracy is never needed — and Mosaic
+    # (the fused Pallas hot-step kernel) has no expm1 primitive.
+    full = pref / (jnp.exp(jnp.minimum(x, 80.0)) - 1.0 + consts.EPS)
     return jnp.where(x < 1.0e-3, series, full)
 
 
@@ -89,6 +92,20 @@ def kinematics_c(k, u_cov, b_cov, b, b_unit):
     return theta, nu
 
 
+def kinematics_sin_c(k, u_cov, b_cov, b, b_unit):
+    """:func:`kinematics_c` returning (sin(bk_angle), nu) instead of the
+    angle itself: the only consumer of the angle in the hot path is the
+    synchrotron emissivity, which needs sin(theta) — computing
+    sqrt(1 - mu^2) directly avoids an arccos+sin transcendental pair
+    (and keeps the fused Pallas hot-step kernel within Mosaic's op set)."""
+    k_u = k[0] * u_cov[0] + k[1] * u_cov[1] + k[2] * u_cov[2] + k[3] * u_cov[3]
+    k_b = k[0] * b_cov[0] + k[1] * b_cov[1] + k[2] * b_cov[2] + k[3] * b_cov[3]
+    mu = jnp.clip(k_b / (jnp.abs(k_u) * b / b_unit + consts.EPS), -1.0, 1.0)
+    sin_th = jnp.where(b == 0.0, 1.0, jnp.sqrt(1.0 - mu * mu))
+    nu = -k_u * consts.ME * consts.CL * consts.CL / consts.HPL
+    return sin_th, nu
+
+
 def alpha_inv_scatt_c(nu, theta_e, n_e, hc_coeffs):
     """Invariant scattering opacity with the Chebyshev hotcross surrogate."""
     from grmonty_tpu.ops import cheb
@@ -101,4 +118,11 @@ def alpha_inv_scatt_c(nu, theta_e, n_e, hc_coeffs):
 def alpha_inv_abs_c(nu, theta_e, n_e, b, theta, k2_coeffs):
     """Invariant absorption opacity with the Chebyshev K2 surrogate."""
     j = jnu.synch_c(nu, n_e, theta_e, b, theta, k2_coeffs)
+    return nu * j / (b_nu(nu, theta_e) + consts.EPS)
+
+
+def alpha_inv_abs_sin_c(nu, theta_e, n_e, b, sin_th, k2_coeffs):
+    """:func:`alpha_inv_abs_c` taking sin(pitch angle) directly
+    (pairs with :func:`kinematics_sin_c`)."""
+    j = jnu.synch_sin_c(nu, n_e, theta_e, b, sin_th, k2_coeffs)
     return nu * j / (b_nu(nu, theta_e) + consts.EPS)

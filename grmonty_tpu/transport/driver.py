@@ -439,6 +439,9 @@ class Simulation:
                 state = self._drain_spec(state)
                 counters = jax.device_get(state.counters)
                 occupied = int(jax.device_get(state.pool.occupied.sum()))
+                moving = int(jax.device_get(
+                    (state.pool.alive & ~state.pool.at_event).sum()))
+                rpend = int(jax.device_get(state.pool.record_pending.sum()))
                 pos = int(state.backlog_pos)
                 sec = int(state.sec.count)
             except jax.errors.JaxRuntimeError as err:
@@ -458,9 +461,10 @@ class Simulation:
             elapsed = time.time() - t0
             done = min(start + pos, total)
             log.info(
-                "wave %d/%d: it=%d pos=%d occ=%d sec=%d rec=%d scatt=%d "
-                "| %.0f ph/s",
-                c + 1, n_chunks, int(state.it), done, occupied, sec,
+                "wave %d/%d: it=%d pos=%d occ=%d mov=%d rp=%d sec=%d "
+                "rec=%d scatt=%d | %.0f ph/s",
+                c + 1, n_chunks, int(state.it), done, occupied, moving,
+                rpend, sec,
                 int(counters.n_recorded), int(counters.n_scatt_rec),
                 done / max(elapsed, 1e-9),
             )

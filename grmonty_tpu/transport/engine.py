@@ -110,6 +110,11 @@ class EngineConfig(typing.NamedTuple):
     #   the Pallas VMEM kernel (ops/gather.py) instead of an XLA HBM gather.
     #   Wins when the packed corner table fits VMEM (gather.fits_vmem);
     #   TPU-only — leave False on CPU backends.
+    pallas_hot: bool = False  # run the hot iteration as two fused Mosaic
+    #   kernels (transport/hotstep_pallas.py) with the corner gather
+    #   between them, instead of ~15 XLA fusions.  Stream-identical to the
+    #   XLA path (same hot_phase_a/b functions); TPU only.
+    pallas_block: int = 8192  # lane-block size for the fused kernels
     fluid_cache: bool = False  # carry each lane's bilinear corner row in
     #   the pool and re-gather only lanes whose cell changed (a few % per
     #   step), compacted (see fluid.get_fluid_params_frow).  Physically
@@ -250,6 +255,248 @@ def pack_rows(b: emission.InitPhotons, dtype) -> np.ndarray:
     return np.stack(cols, axis=1).astype(np.dtype(dtype))
 
 
+def push_attempt_c(x, k, dkdlam, e_0_s, seg_dl, active, at_floor,
+                   a, hs, r0, fp_iters, ref_err_metric=False):
+    """ONE implicit-midpoint geodesic attempt (analytic geometry), pure.
+
+    Module-level so the Pallas fused hot-step kernel and the XLA engine
+    closure share the exact same math (harm_model.cpp:1217-1289; iterative
+    form super_photon.cu:1826-1929).  ``x``/``k``/``dkdlam``: 4-tuples of
+    (N,) components.  Returns (x, k, dk, e0s, commit).
+    """
+    dl_2 = 0.5 * seg_dl
+    k_half = tuple(kk + dd * dl_2 for kk, dd in zip(k, dkdlam))
+    k_pred = tuple(kh + dd * dl_2 for kh, dd in zip(k_half, dkdlam))
+    x_new = tuple(xx + kh * seg_dl for xx, kh in zip(x, k_half))
+
+    conn = geometry.connection_c(x_new[1], x_new[2], a, hs)
+    row0 = geometry.gcov_row0_c(x_new[1], x_new[2], a, hs, r0)
+
+    err = jnp.zeros_like(e_0_s)
+    dk_new = dkdlam
+    for _ in range(fp_iters):
+        dk_new = geometry.geodesic_rhs_c(conn, *k_pred)
+        k_next = tuple(kh + dl_2 * dd for kh, dd in zip(k_half, dk_new))
+        if ref_err_metric:
+            err = sum(
+                jnp.abs((kp - kn) / (kn + consts.EPS))
+                for kp, kn in zip(k_pred, k_next)
+            )
+        else:
+            kscale = sum(jnp.abs(kn) for kn in k_next) + consts.EPS
+            err = sum(
+                jnp.abs(kp - kn) for kp, kn in zip(k_pred, k_next)
+            ) / kscale
+        k_pred = k_next
+    k_new = k_pred
+
+    g00, g01, g03 = row0
+    e_1 = -(k_new[0] * g00 + k_new[1] * g01 + k_new[3] * g03)
+    err_e = jnp.abs((e_1 - e_0_s) / (e_0_s + consts.EPS))
+
+    bad = (err_e > consts.E_DRIFT_TOL) | (err > consts.E_TOL) | ~jnp.isfinite(err)
+    commit = active & (~bad | at_floor)
+
+    x = tuple(jnp.where(commit, xn, xx) for xn, xx in zip(x_new, x))
+    k = tuple(jnp.where(commit, kn, kk) for kn, kk in zip(k_new, k))
+    dk = tuple(jnp.where(commit, dn, dd) for dn, dd in zip(dk_new, dkdlam))
+    e0s = jnp.where(commit, e_1, e_0_s)
+    return x, k, dk, e0s, commit
+
+
+def hot_phase_a(x, k, dkdlam, e_0_s, dl_shrink, pend_dl, pend_push, at_event,
+                alive, w, record_pending, u_roul,
+                mc, fp_iters, weight_min, shrink_floor, ref_err_metric=False):
+    """Pre-gather half of the hot iteration, pure and elementwise.
+
+    step_size -> geodesic push attempt -> per-lane shrink control ->
+    partial-re-push bookkeeping -> stop criterion with Russian roulette ->
+    bilinear cell index for the corner gather.  ``x``/``k``/``dkdlam``:
+    4-tuples of (N,) components; ``u_roul``: (N,) uniforms (the roulette
+    draw, generated by the caller's threefry stream).
+
+    Shared verbatim between the XLA engine hot_step and the fused Pallas
+    kernel (transport/hotstep_pallas.py) — everything here is lane-local
+    math, which is exactly what both backends fuse well.
+
+    Returns a dict of updated fields plus the masks/values the post-gather
+    half (:func:`hot_phase_b`) needs: seg, commit, moving, was_pend,
+    arrived, stopped, and the flattened cell index ``z``.
+    """
+    moving = alive & ~at_event
+
+    dl_full = jnp.where(
+        pend_push,
+        pend_dl,
+        geometry.step_size_c(x[1], x[2], k[1], k[2], k[3], mc.x_stop[2]),
+    )
+    seg = dl_full * dl_shrink
+    at_floor = dl_shrink <= shrink_floor
+    act = moving & ~(x[1] < mc.x_start[1])
+
+    xn, kn, dkn, e0sn, commit = push_attempt_c(
+        x, k, dkdlam, e_0_s, seg, act, at_floor,
+        mc.a, mc.h_slope, mc.r_0, fp_iters, ref_err_metric,
+    )
+    dl_shrink_n = jnp.where(
+        act & ~commit,
+        jnp.maximum(dl_shrink * 0.5, shrink_floor),
+        jnp.minimum(dl_shrink * 2.0, 1.0),
+    )
+
+    was_pend = pend_push
+    pend_rem = jnp.where(pend_push & commit, pend_dl - seg, pend_dl)
+    arrived = moving & pend_push & commit & (pend_rem <= 0.0)
+    pend_push_n = pend_push & ~arrived
+    at_event_n = at_event | arrived
+
+    # Stop criterion + roulette (harm_model.cpp:1589-1616) at the new x.
+    checkable = (moving & commit & ~arrived) | (moving & ~act)
+    horizon = xn[1] < mc.x1_min
+    escaped = xn[1] > consts.X1_MAX
+    small = w < weight_min
+    win = u_roul <= (1.0 / consts.ROULETTE)
+    w_roul = jnp.where(win, w * consts.ROULETTE, 0.0)
+    w_n = jnp.where(checkable & small & ~horizon, w_roul, w)
+    killed_inside = checkable & small & ~horizon & ~escaped & ~win
+    stopped = checkable & (horizon | escaped | killed_inside)
+    record = checkable & escaped & ~horizon
+
+    alive_n = alive & ~stopped
+    record_pending_n = record_pending | record
+
+    ii, jj, _, _ = geometry.x_to_ij_c(
+        xn[1], xn[2], mc.x_start, mc.dx, (mc.n1, mc.n2))
+    z = (ii * mc.n2 + jj).astype(jnp.int32)
+
+    return dict(
+        x=xn, k=kn, dkdlam=dkn, e_0_s=e0sn, dl_shrink=dl_shrink_n,
+        pend_dl=pend_rem, pend_push=pend_push_n, at_event=at_event_n,
+        alive=alive_n, w=w_n, record_pending=record_pending_n,
+        seg=seg, commit=commit, moving=moving, was_pend=was_pend,
+        arrived=arrived, stopped=stopped, z=z,
+    )
+
+
+def hot_phase_b(rows, x, k, dkdlam, e_0_s, w, alpha_scatti, alpha_absi, bi,
+                tau_abs, tau_scatt, interacting, pend_dl, pend_push, sec_w,
+                n_step, alive,
+                x_pre, k_pre, dk_pre, e0s_pre,
+                seg, commit, moving, was_pend, stopped, u_x1, bias_scale,
+                mc, hc_coeffs, k2_coeffs, weight_min, stall_steps):
+    """Post-gather half of the hot iteration (harm_model.cpp:937-1056).
+
+    ``rows``: (N, 32) gathered bilinear corner rows at the new position;
+    ``x_pre``/... : the pre-step state for scatter rollback; ``u_x1``:
+    (N,) uniforms for the optical-depth draw; ``bias_scale``: the
+    counters-derived scalar 100/(bias_norm * max_tau_scatt * (avg+2)).
+
+    Pure and elementwise given the gathered rows — shared verbatim
+    between the XLA engine and the fused Pallas kernel.  Returns a dict
+    of the final field values.
+    """
+    inter = moving & commit & ~was_pend & ~stopped & interacting
+
+    # Bilinear fluid blend (fluid.get_fluid_params_c without the gather).
+    x1, x2 = x[1], x[2]
+    inside = (
+        (x1 >= mc.x_start[1]) & (x1 <= mc.x_stop[1])
+        & (x2 >= mc.x_start[2]) & (x2 <= mc.x_stop[2])
+    )
+    _, _, del_i, del_j = geometry.x_to_ij_c(
+        x1, x2, mc.x_start, mc.dx, (mc.n1, mc.n2))
+    c00 = (1.0 - del_i) * (1.0 - del_j)
+    c01 = (1.0 - del_i) * del_j
+    c10 = del_i * (1.0 - del_j)
+    c11 = del_i * del_j
+    pr = [
+        rows[..., m] * c00 + rows[..., 8 + m] * c01
+        + rows[..., 16 + m] * c10 + rows[..., 24 + m] * c11
+        for m in range(8)
+    ]
+    rho, uu = pr[0], pr[1]
+    n_e = jnp.where(inside, rho * mc.n_e_unit, 0.0)
+    theta_e = uu / rho * mc.theta_e_unit
+    g7 = geometry.gcov_c(x1, x2, mc.a, mc.h_slope, mc.r_0)
+    gc6 = geometry.gcon_c(x1, x2, mc.a, mc.h_slope, mc.r_0)
+    _, u_cov, _, b_cov, b_mag = fluid._four_vectors_c(
+        pr[2], pr[3], pr[4], pr[5], pr[6], pr[7], g7, gc6, mc)
+
+    bound = n_e == 0.0
+    sin_th, nu = radiation.kinematics_sin_c(k, u_cov, b_cov, b_mag, mc.b_unit)
+    nu_safe = jnp.abs(nu) + consts.EPS
+    a_scf = radiation.alpha_inv_scatt_c(nu_safe, theta_e, n_e, hc_coeffs)
+    a_abf = radiation.alpha_inv_abs_sin_c(nu_safe, theta_e, n_e, b_mag,
+                                          sin_th, k2_coeffs)
+    # Scattering bias (harm_model.cpp:1391-1404) from the scalar factor.
+    cap = 0.5 * w / weight_min
+    bf = jnp.minimum(
+        jnp.maximum(bias_scale * theta_e * theta_e, consts.TP_OVER_TE), cap
+    ) / consts.TP_OVER_TE
+
+    dead_branch = bound | (nu < 0.0)
+    half = 0.5 * mc.d_tau_k * seg
+    d_tau_scatt = jnp.where(
+        dead_branch, alpha_scatti * half, (alpha_scatti + a_scf) * half)
+    d_tau_abs = jnp.where(
+        dead_branch, alpha_absi * half, (alpha_absi + a_abf) * half)
+    bias = jnp.where(dead_branch, 0.0, 0.5 * (bi + bf))
+
+    alpha_scatti_n = jnp.where(
+        inter, jnp.where(dead_branch, 0.0, a_scf), alpha_scatti)
+    alpha_absi_n = jnp.where(
+        inter, jnp.where(dead_branch, 0.0, a_abf), alpha_absi)
+    bi_n = jnp.where(inter, jnp.where(dead_branch, 0.0, bf), bi)
+
+    x1r = -jnp.log(u_x1 + 1e-30)
+    sec_w_new = w / jnp.maximum(bias, consts.EPS)
+    scatter = inter & (bias * d_tau_scatt > x1r) & (sec_w_new > weight_min)
+
+    frac = jnp.where(scatter, x1r / (bias * d_tau_scatt + consts.EPS), 1.0)
+    d_tau_abs_eff = d_tau_abs * frac
+    d_tau_scatt_eff = d_tau_scatt * frac
+
+    absorbed = inter & (d_tau_abs_eff > 100.0)
+
+    d_tau = d_tau_abs_eff + d_tau_scatt_eff
+    decay_taylor = 1.0 - d_tau / 24.0 * (24.0 - d_tau * (12.0 - d_tau * (4.0 - d_tau)))
+    decay = jnp.where(d_tau < 1.0e-3, decay_taylor,
+                      jnp.exp(-jnp.minimum(d_tau, 200.0)))
+    w_n = jnp.where(inter & ~absorbed, w * decay, w)
+
+    roll = scatter & ~absorbed
+    x_n = tuple(jnp.where(roll, xp, xc) for xp, xc in zip(x_pre, x))
+    k_n = tuple(jnp.where(roll, kp, kc) for kp, kc in zip(k_pre, k))
+    dk_n = tuple(jnp.where(roll, dp, dc) for dp, dc in zip(dk_pre, dkdlam))
+    e0s_n = jnp.where(roll, e0s_pre, e_0_s)
+
+    n_step_n = n_step + moving.astype(jnp.int32)
+    over = moving & (n_step_n > stall_steps)
+
+    return dict(
+        x=x_n, k=k_n, dkdlam=dk_n, e_0_s=e0s_n,
+        pend_dl=jnp.where(roll, seg * frac, pend_dl),
+        sec_w=jnp.where(roll, sec_w_new, sec_w),
+        pend_push=pend_push | roll,
+        w=w_n,
+        tau_abs=jnp.where(inter & ~absorbed, tau_abs + d_tau_abs_eff, tau_abs),
+        tau_scatt=jnp.where(inter & ~absorbed, tau_scatt + d_tau_scatt_eff,
+                            tau_scatt),
+        alpha_scatti=alpha_scatti_n,
+        alpha_absi=alpha_absi_n,
+        bi=bi_n,
+        # boolean select via logical ops, not jnp.where: Mosaic lowers a
+        # bool select_n through an i8 vector and an unsupported i8->i1
+        # trunci (the fused Pallas kernels run this function verbatim).
+        interacting=(
+            inter & ((alpha_scatti_n > 0.0) | (alpha_absi_n > 0.0)
+                     | (n_e > 0.0))
+        ) | (~inter & interacting),
+        alive=alive & ~absorbed & ~over,
+        n_step=n_step_n,
+    )
+
+
 def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
                 geom_rows=None):
     """Build the jitted transport step functions for one dump.
@@ -307,13 +554,18 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         return eval_fluid_xy(p.x[1], p.x[2])
 
     def eval_alphas(k, fl):
-        """(theta, nu, alpha_scatt, alpha_abs) from component tuples."""
-        theta, nu = radiation.kinematics_c(k, fl.u_cov, fl.b_cov, fl.b, mc.b_unit)
+        """(sin theta, nu, alpha_scatt, alpha_abs) from component tuples.
+
+        Uses the sin-angle kinematics (radiation.kinematics_sin_c): the
+        synchrotron emissivity only needs sin(pitch angle), so the
+        arccos+sin pair collapses to a sqrt."""
+        sin_th, nu = radiation.kinematics_sin_c(
+            k, fl.u_cov, fl.b_cov, fl.b, mc.b_unit)
         nu_safe = jnp.abs(nu) + consts.EPS
         a_sc = radiation.alpha_inv_scatt_c(nu_safe, fl.theta_e, fl.n_e, hc_coeffs)
-        a_ab = radiation.alpha_inv_abs_c(nu_safe, fl.theta_e, fl.n_e, fl.b, theta,
-                                         k2_coeffs)
-        return theta, nu, a_sc, a_ab
+        a_ab = radiation.alpha_inv_abs_sin_c(nu_safe, fl.theta_e, fl.n_e, fl.b,
+                                             sin_th, k2_coeffs)
+        return sin_th, nu, a_sc, a_ab
 
     def bias_func(theta_e, w, counters):
         """Scattering bias (harm_model.cpp:1391-1404) from loop-carried counters."""
@@ -394,17 +646,20 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
 
         Returns (x, k, dk, e0s, commit, flc).
         """
+        if not cfg.interp_geom:
+            x, k, dk, e0s, commit = push_attempt_c(
+                x, k, dkdlam, e_0_s, seg_dl, active, at_floor,
+                a, hs, r0, cfg.fp_iters, cfg.ref_err_metric,
+            )
+            return x, k, dk, e0s, commit, _zero_flc(e_0_s.shape[0])
+
         dl_2 = 0.5 * seg_dl
         # half-step predictor (harm_model.cpp:1233-1238)
         k_half = tuple(kk + dd * dl_2 for kk, dd in zip(k, dkdlam))
         k_pred = tuple(kh + dd * dl_2 for kh, dd in zip(k_half, dkdlam))
         x_new = tuple(xx + kh * seg_dl for xx, kh in zip(x, k_half))
 
-        if cfg.interp_geom:
-            conn, fl_new = blend_geom(x_new[1], x_new[2])
-        else:
-            conn = geometry.connection_c(x_new[1], x_new[2], a, hs)
-            fl_new = _zero_flc(e_0_s.shape[0])
+        conn, fl_new = blend_geom(x_new[1], x_new[2])
         # The conserved-energy row stays analytic even in interp_geom mode:
         # e_0_s is a running conservation ledger, and bilinear noise in g_0mu
         # would random-walk it across thousands of steps (and trip the
@@ -509,7 +764,88 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
     # ------------------------------------------------------------------
     # the hot iteration
     # ------------------------------------------------------------------
+    # The default configuration (analytic geometry, no fluid cache, no dbg
+    # stubs) runs through the module-level hot_phase_a/b pair — the same
+    # functions the fused Pallas kernels execute — so the XLA and Pallas
+    # backends cannot drift.  Optioned configs take the legacy inline path.
+    _shared_hot = not cfg.interp_geom and not cfg.fluid_cache and not dbg
+
+    def _bias_scale(counters):
+        avg_scatt = counters.n_scatt_rec.astype(dt) / (
+            counters.n_recorded.astype(dt) + 1.0)
+        return 100.0 / (mc.bias_norm * counters.max_tau_scatt * (avg_scatt + 2.0))
+
+    # For the f32 engine, trace the shared phases with x64 disabled so
+    # python-float literals bind as f32 — exactly how the Pallas kernels
+    # must trace them (Mosaic has no f64 converts).  This keeps the two
+    # backends bitwise identical; the f64 engine keeps x64 semantics.
+    import contextlib
+
+    def _phase_ctx():
+        return (jax.enable_x64(False) if dt == jnp.float32
+                else contextlib.nullcontext())
+
+    def hot_step_shared(state: State) -> State:
+        p = state.pool
+        key, k_roul2, k_x1 = random.split(state.key, 3)
+        u_roul = random.uniform(k_roul2, p.w.shape, dt)
+        u_x1 = random.uniform(k_x1, p.w.shape, dt)
+
+        with _phase_ctx():
+            A = hot_phase_a(
+                x_comps(p.x), x_comps(p.k), x_comps(p.dkdlam), p.e_0_s,
+                p.dl_shrink, p.pend_dl, p.pend_push, p.at_event, p.alive,
+                p.w, p.record_pending, u_roul,
+                mc, cfg.fp_iters, weight_min, SHRINK_FLOOR, cfg.ref_err_metric,
+            )
+        if gather_fn is None:
+            rows = corner_rows[A["z"]]
+        else:
+            rows = gather_fn(corner_rows, A["z"])
+        with _phase_ctx():
+            B = hot_phase_b(
+                rows, A["x"], A["k"], A["dkdlam"], A["e_0_s"], A["w"],
+                p.alpha_scatti, p.alpha_absi, p.bi, p.tau_abs, p.tau_scatt,
+                p.interacting, A["pend_dl"], A["pend_push"], p.sec_w, p.n_step,
+                A["alive"],
+                x_comps(p.x), x_comps(p.k), x_comps(p.dkdlam), p.e_0_s,
+                A["seg"], A["commit"], A["moving"], A["was_pend"], A["stopped"],
+                u_x1, _bias_scale(state.counters).astype(dt),
+                mc, hc_coeffs, k2_coeffs, weight_min, cfg.stall_steps,
+            )
+        p = p._replace(
+            x=jnp.stack(B["x"]), k=jnp.stack(B["k"]),
+            dkdlam=jnp.stack(B["dkdlam"]), e_0_s=B["e_0_s"],
+            dl_shrink=A["dl_shrink"], pend_dl=B["pend_dl"],
+            pend_push=B["pend_push"], at_event=A["at_event"], w=B["w"],
+            alive=B["alive"], record_pending=A["record_pending"],
+            tau_abs=B["tau_abs"], tau_scatt=B["tau_scatt"],
+            alpha_scatti=B["alpha_scatti"], alpha_absi=B["alpha_absi"],
+            bi=B["bi"], interacting=B["interacting"], sec_w=B["sec_w"],
+            n_step=B["n_step"],
+        )
+        return state._replace(pool=p, key=key, it=state.it + 1)
+
+    if cfg.pallas_hot:
+        if not _shared_hot:
+            raise ValueError("pallas_hot supports only the default config "
+                             "(no interp_geom/fluid_cache/dbg_skip)")
+        from grmonty_tpu.transport import hotstep_pallas
+
+        _pallas_hot_step = hotstep_pallas.make_hot_step(
+            mc, cfg, hc_coeffs, k2_coeffs, corner_rows, weight_min,
+            SHRINK_FLOOR, _bias_scale,
+            interpret=jax.default_backend() == "cpu",
+        )
+
     def hot_step(state: State) -> State:
+        if cfg.pallas_hot:
+            return _pallas_hot_step(state)
+        if _shared_hot:
+            return hot_step_shared(state)
+        return hot_step_legacy(state)
+
+    def hot_step_legacy(state: State) -> State:
         p = state.pool
         key, k_roul2, k_x1 = random.split(state.key, 3)
 
@@ -1138,6 +1474,7 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         "run": run,
         "push_rounds": push_rounds,
         "hot_step": hot_step,
+        "hot_step_legacy": hot_step_legacy,  # A/B parity checks only
         "periodic_phase": periodic_phase,
         "push_batch": push_batch,
         "fresh_state": fresh_state,
