@@ -66,18 +66,17 @@ def main():
         fp_iters=int(os.environ.get("BENCH_FP_ITERS", "2")),
     )
     dump = find_dump()
-    # One wave for the whole plan: emission is on-device (cheap) and every
-    # wave boundary drains the pool to wave_tail_exit with no refill —
-    # 17 waves of inter-wave drain cost ~2x the useful tracking time.
-    # At 1e6 photons the plan is ~16M rows = ~1 GB of f32 backlog on a
-    # 16 GB chip.
+    # Waves hand off with the pool still full: wave_tail_exit=pool means a
+    # wave ends as soon as its backlog is consumed (occupancy never has to
+    # drain), so inter-wave boundaries cost one sampler call instead of
+    # tracking the pool down to a tail at sinking utilization.  One giant
+    # wave (emit_chunk 1<<24) was tried and OOMs: the sampler's per-photon
+    # (chunk, 4, 4) tetrad gathers pad (4,4)->(4,128) on TPU = 32 GiB.
     sim = driver.Simulation(
         dump, photon_n=photon_n, mass_unit=4.0e19, config=cfg,
-        emit_chunk=int(os.environ.get("BENCH_EMIT_CHUNK", str(1 << 24))),
+        emit_chunk=int(os.environ.get("BENCH_EMIT_CHUNK", str(1 << 20))),
         slice_iters=int(os.environ.get("BENCH_SLICE", "1024")),
-        # carry stragglers across waves instead of draining each wave's
-        # pool tail at low occupancy
-        wave_tail_exit=pool // 4,
+        wave_tail_exit=pool,
     )
     spec, stats = sim.run()
     sim.report(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "bench_spectrum"))

@@ -222,7 +222,9 @@ class Simulation:
         )
         self.engine = engine_mod.make_engine(self.mc, self.tables, self.prims,
                                              wave_cfg, geom_rows=self.geom)
-        self._run_jit = jax.jit(self.engine["run"])  # donation disabled: faults the axon TPU runtime
+        # donation disabled: faults the axon TPU runtime
+        self._run_jit = jax.jit(self.engine["run"],
+                                compiler_options=engine_mod.compiler_options(self.cfg))
         self._tail_engines = {}  # rebuilt lazily (per pool size)
         # Sampler runs on CPU (f64) regardless of the engine dtype; inputs
         # are committed to the CPU device so jit compiles there.  The accept
@@ -418,23 +420,28 @@ class Simulation:
         return jax.device_put(state_host)
 
     def _run_wave(self, state, backlog_np, t0, c, n_chunks, total, start=0,
-                  remake_backlog=None):
+                  remake_backlog=None, tail_exit=None):
         """Run one backlog wave in bounded slices with rate telemetry
         (the reference's 1 Hz photon-rate logging, harm_model.cpp:397-403),
         per-slice spectrum draining, and fault-retry from snapshots.
 
         ``backlog_np`` may be host numpy or an already-device rows array;
         ``remake_backlog`` rebuilds it after a device-fault recovery
-        (defaults to re-uploading the numpy array)."""
+        (defaults to re-uploading the numpy array).  ``tail_exit``
+        overrides the wave's exit occupancy (traced engine arg — no
+        recompile): n_pool = hand off with the pool still full."""
         if remake_backlog is None:
             remake_backlog = lambda: jax.device_put(backlog_np)
+        if tail_exit is None:
+            tail_exit = self._wave_tail_exit
+        te = np.int32(tail_exit)
         backlog = jax.device_put(backlog_np)
         snap = self._snapshot(state)
         retries = 0
         s = 0
         while True:
             try:
-                state = self._run_jit(state, backlog)
+                state = self._run_jit(state, backlog, te)
                 state.spec.block_until_ready()
                 state = self._drain_spec(state)
                 counters = jax.device_get(state.counters)
@@ -471,7 +478,7 @@ class Simulation:
             finished = (
                 pos >= backlog.shape[0]
                 and sec == 0
-                and occupied <= self._wave_tail_exit
+                and occupied <= tail_exit
             )
             if finished:
                 break
@@ -487,23 +494,29 @@ class Simulation:
             )
             eng = engine_mod.make_engine(self.mc, self.tables, self.prims, cfg,
                                          geom_rows=self.geom)
-            self._tail_engines[key] = (eng, jax.jit(eng["run"]))
+            self._tail_engines[key] = (eng, jax.jit(
+                eng["run"], compiler_options=engine_mod.compiler_options(cfg)))
         return self._tail_engines[key]
 
     def _drain_tail(self, state):
         """Finish leftover stragglers in a cascade of shrinking pools.
 
-        A wave leaves up to ~n_pool/16 unfinished lanes.  Most need only a
-        few thousand more steps, but a handful sit on near-photon-orbit
-        trajectories and run to the per-photon step cap (~1e5-1e6 steps; the
-        reference pays the same per photon, consts.hpp:55).  Draining
-        everyone in one tiny pool serializes those orbiters cohort by
-        cohort, so: stage 1 drains the bulk in a n_pool/16 pool until only
-        256 lanes remain; stage 2 finishes the orbiters in a 256 pool where
-        each iteration is ~50x cheaper than a full-width one.
+        A wave leaves unfinished lanes — up to the full pool when
+        wave_tail_exit >= n_pool (the pool-full handoff mode, where waves
+        end at backlog exhaustion without draining occupancy).  Most need
+        only a few thousand more steps, but a handful sit on near-photon-
+        orbit trajectories and run to the per-photon step cap (~1e5-1e6
+        steps; the reference pays the same per photon, consts.hpp:55).
+        Draining everyone in one tiny pool serializes those orbiters cohort
+        by cohort, so the cascade shrinks: a full-width stage drains the
+        bulk at full occupancy down to n_pool/16, a n_pool/16 pool takes
+        that down to 256, and a 256 pool finishes the orbiters where each
+        iteration is ~250x cheaper than a full-width one.
         """
         stage1 = max(256, self.cfg.n_pool // 16)
-        sizes = [stage1, 256] if stage1 > 256 else [256]
+        sizes = [self.cfg.n_pool, stage1, 256]
+        sizes = sorted({s for s in sizes if s <= self.cfg.n_pool},
+                       reverse=True)
         zero_backlog = jnp.zeros((1, engine_mod.ROW_WIDTH), self.cfg.dtype)
         for si, n_t in enumerate(sizes):
             exit_occ = sizes[si + 1] if si + 1 < len(sizes) else 0
@@ -575,12 +588,42 @@ class Simulation:
                 )
         return state
 
+    def _warm_compile(self, plan):
+        """Execute every jitted program the run will need, once, on dummy
+        state — so TPU compiles (minutes each through a tunneled runtime;
+        disk-cached across runs) land before the transport clock starts.
+        The reference's analogue is nvcc: its kernels are compiled at build
+        time and its photon rate never pays compilation."""
+        k0 = random.PRNGKey(0)
+        zero_backlog = jnp.zeros((self.emit_chunk, engine_mod.ROW_WIDTH),
+                                 self.cfg.dtype)
+        if (jax.default_backend() != "cpu"
+                and os.environ.get("GRMONTY_EMIT_DEVICE", "1") == "1"):
+            self._ensure_dev_sampler(plan)
+            jax.block_until_ready(self._dev_sampler(
+                k0, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)))
+        state = self.engine["fresh_state"](k0)
+        jax.block_until_ready(
+            self._run_jit(state, zero_backlog, np.int32(0)))
+        # The tail-drain cascade engines (driver._drain_tail stage sizes).
+        stage1 = max(256, self.cfg.n_pool // 16)
+        one_row = jnp.zeros((1, engine_mod.ROW_WIDTH), self.cfg.dtype)
+        sizes = sorted({s for s in (self.cfg.n_pool, stage1, 256)
+                        if s <= self.cfg.n_pool}, reverse=True)
+        for si, n_t in enumerate(sizes):
+            exit_occ = sizes[si + 1] if si + 1 < len(sizes) else 0
+            eng, run = self._tail_engine(n_t, exit_occ)
+            jax.block_until_ready(run(eng["fresh_state"](k0), one_row))
+
     def run(self):
         """Emit + track everything; returns (spectrum_rows, stats)."""
-        t0 = time.time()
+        t_init = time.time()
         plan = self.plan()
         self.key, k_eng = random.split(self.key)
         state = self.engine["fresh_state"](k_eng)
+        self._warm_compile(plan)
+        t0 = time.time()
+        compile_s = t0 - t_init
 
         chunk = self.emit_chunk
         # Warmup: a small pilot wave equilibrates the bias-feedback counters
@@ -606,6 +649,18 @@ class Simulation:
         # (GRMONTY_EMIT_OVERLAP=0 serializes it).
         emit_dev = (jax.default_backend() != "cpu"
                     and os.environ.get("GRMONTY_EMIT_DEVICE", "1") == "1")
+        # Per-wave exit occupancy: the pilot wave (and the final wave, at
+        # full width where iterations are cheapest per lane) drain so the
+        # bias counters warm / the tail cascade starts small; interior
+        # waves use wave_tail_exit (n_pool = hand off with the pool full,
+        # so interior boundaries never track at sinking occupancy).
+        drain_occ = max(1, self.cfg.n_pool // 16)
+
+        def wave_te(c):
+            if c + 1 == len(waves) or (c == 0 and len(starts) > 1):
+                return min(drain_occ, self._wave_tail_exit)
+            return self._wave_tail_exit
+
         if emit_dev:
             for c, (start, limit) in enumerate(waves):
                 backlog, k_wave = self.emit_packed_dev(plan, start, limit)
@@ -614,7 +669,8 @@ class Simulation:
                           self._remake_dev_backlog(plan, k, st, li))
                 state = self._run_wave(state, backlog, t0, c, len(waves),
                                        plan.total, start=start,
-                                       remake_backlog=remake)
+                                       remake_backlog=remake,
+                                       tail_exit=wave_te(c))
         else:
             overlap = os.environ.get("GRMONTY_EMIT_OVERLAP", "1") == "1"
             pool = ThreadPoolExecutor(max_workers=1)
@@ -630,7 +686,8 @@ class Simulation:
                                      waves[c + 1][0], chunk, waves[c + 1][1])
                     state = state._replace(backlog_pos=jnp.zeros((), jnp.int32))
                     state = self._run_wave(state, backlog_np, t0, c, len(waves),
-                                           plan.total, start=start)
+                                           plan.total, start=start,
+                                           tail_exit=wave_te(c))
             finally:
                 pool.shutdown(wait=False, cancel_futures=True)
 
@@ -645,6 +702,7 @@ class Simulation:
             "max_tau_scatt": float(counters.max_tau_scatt),
             "n_secondary_dropped": int(counters.n_sec_drop),
             "elapsed_s": elapsed,
+            "compile_s": compile_s,
             "photon_rate": plan.total / max(elapsed, 1e-9),
             "steps_per_photon": float(counters.n_steps_retired)
             / max(float(counters.n_retired), 1.0),

@@ -134,6 +134,23 @@ class EngineConfig(typing.NamedTuple):
     weight_scale: float = 1.0e-25
 
 
+def compiler_options(cfg: EngineConfig):
+    """Per-jit XLA options for engine dispatches (jax.jit(compiler_options=...)).
+
+    The fused Mosaic hot-step kernels stage whole lane blocks plus the
+    gathered corner rows through scoped VMEM; at the default scoped-VMEM
+    budget the TPU compiler fails with "Ran out of memory in memory space
+    vmem while allocating on stack".  Raising the scoped limit to 64 MiB
+    (half of a v5e core's 128 MiB VMEM) lets the pallas_block=8192 layout
+    compile.  XLA_FLAGS cannot carry this flag here: the tunneled runtime's
+    client-side parser rejects TPU-backend flags, but per-compile options
+    are forwarded.  Returns None (jit default) for the plain XLA path.
+    """
+    if cfg.pallas_hot:
+        return {"xla_tpu_scoped_vmem_limit_kib": "65536"}
+    return None
+
+
 class Tables(typing.NamedTuple):
     f_table: jnp.ndarray  # (201,) ln F(k)
     k2_table: jnp.ndarray  # (201,) ln K2
@@ -1419,13 +1436,20 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
     # v5e): XLA already overlaps the small carry copies with compute, and
     # the pack/unpack materialization adds ~15 MB/iter of real traffic.
     # ------------------------------------------------------------------
-    def run(state: State, backlog_rows) -> State:
+    def run(state: State, backlog_rows, tail_exit=None) -> State:
+        """One engine dispatch.  ``tail_exit`` may be a traced scalar — the
+        occupancy below which the wave may end once its backlog is spent —
+        so ONE compiled executable serves pool-full wave handoff
+        (tail_exit=n_pool), the pilot-wave counter-warmup drain, and the
+        final full-width drain; None falls back to the static
+        cfg.tail_exit (the tail-cascade engines and the sharded path)."""
         t_total = backlog_rows.shape[0]
         n_super = max(1, cfg.m_period)
+        te = cfg.tail_exit if tail_exit is None else tail_exit
 
         def cond(state):
             return (
-                (jnp.sum(state.pool.occupied) > cfg.tail_exit)
+                (jnp.sum(state.pool.occupied) > te)
                 | (state.backlog_pos < t_total)
                 | (state.sec.count > 0)
             ) & (state.it < cfg.max_outer)
