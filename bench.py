@@ -64,6 +64,11 @@ def main():
         stall_steps=stall,
         dtype=dtype,
         fp_iters=int(os.environ.get("BENCH_FP_ITERS", "2")),
+        # ev_k: measured on a real v5e at 3e5 photons (A/B, same driver):
+        # auto (n_pool/8 = 8192) starves refill against ~15k lane-deaths
+        # per period in the Compton-storm segment (occupancy ~43%);
+        # 16384 lifts occupancy to ~80% and 2.3x's the photon rate.
+        ev_k=int(os.environ.get("BENCH_EV_K", "16384")),
     )
     dump = find_dump()
     # Waves hand off with the pool still full: wave_tail_exit=pool means a

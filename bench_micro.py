@@ -54,14 +54,28 @@ def main():
         fluid_cache=os.environ.get("MICRO_FLUID_CACHE", "0") == "1",
         pallas_hot=os.environ.get("MICRO_PALLAS", "0") == "1",
         pallas_block=int(os.environ.get("MICRO_PALLAS_BLOCK", "8192")),
+        ev_k=int(os.environ.get("MICRO_EV_K", "0")),
     )
-    sim = driver.Simulation(dump, photon_n=500_000, mass_unit=4e19,
+    # photon_n matches the macro bench so the zone sweep (and therefore the
+    # regime at a given row offset) is the same plan the bench runs.
+    sim = driver.Simulation(dump, photon_n=1_000_000, mass_unit=4e19,
                             config=cfg, emit_chunk=pool * 8)
     plan = sim.plan()
-    backlog = sim.emit_packed(plan, 0, pool * 8)
+    # Row offset picks the measurement regime.  The plan is a row-major
+    # zone sweep: the first ~1M rows are near-horizon photons that die in
+    # a handful of steps (an idle-pool regime that flattered this bench by
+    # 6x), rows ~1.5-4M are the Compton-storm segment where the macro
+    # bench spends most of its wall time.  Default: the storm.
+    start = int(os.environ.get("MICRO_START", str(2 << 20)))
+    start = max(0, min(start, plan.total - pool * 8))
+    if jax.default_backend() == "cpu":
+        backlog = sim.emit_packed(plan, start, pool * 8)
+    else:
+        backlog, _ = sim.emit_packed_dev(plan, start, pool * 8)
     state = sim.engine["fresh_state"](random.PRNGKey(0))
     state = jax.jit(sim.engine["periodic_phase"])(state, backlog)
-    # advance into the real mid-wave regime
+    # advance into the real mid-wave regime (counters warm, pool loaded
+    # with the storm's secondary mix)
     state = sim._run_jit(state, backlog)
     state = sim._run_jit(state._replace(it=jnp.zeros((), jnp.int32)), backlog)
     jax.block_until_ready(state)
@@ -96,11 +110,21 @@ def main():
     t512, _ = timed(f512, state)
     hot_ms = (t512 - t64) / (512 - 64) * 1e3
 
-    per = jax.jit(sim.engine["periodic_phase"])
-    f_p8 = jax.jit(lambda s: lax.fori_loop(0, 8, lambda i, s_: per(s_, backlog), s))
-    f_p32 = jax.jit(lambda s: lax.fori_loop(0, 32, lambda i, s_: per(s_, backlog), s))
-    tp8, _ = timed(f_p8, state)
-    tp32, _ = timed(f_p32, state)
+    # Stationary periodic-phase timing: each fori iteration runs the phase
+    # on the SAME pool state (so the event/refill load doesn't decay across
+    # iterations, which made the old evolving-state differencing go
+    # negative), with a folded key so the compiler cannot CSE the calls.
+    per = sim.engine["periodic_phase"]
+
+    def per_probe(n):
+        def body(i, acc):
+            s2 = per(state._replace(key=random.fold_in(state.key, i)),
+                     backlog)
+            return acc + s2.backlog_pos.astype(jnp.int64)
+        return jax.jit(lambda _: lax.fori_loop(0, n, body, jnp.int64(0)))
+
+    tp8, _ = timed(per_probe(8), 0)
+    tp32, _ = timed(per_probe(32), 0)
     per_ms = (tp32 - tp8) / 24 * 1e3
 
     rounds = int(jax.jit(sim.engine["push_rounds"])(state))

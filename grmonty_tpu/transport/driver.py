@@ -226,6 +226,13 @@ class Simulation:
         self._run_jit = jax.jit(self.engine["run"],
                                 compiler_options=engine_mod.compiler_options(self.cfg))
         self._tail_engines = {}  # rebuilt lazily (per pool size)
+        # Per-slice telemetry summary, jitted so the slice loop makes ONE
+        # dispatch + ONE device_get instead of ~8 tunneled roundtrips.
+        self._slice_stats = jax.jit(lambda s: (
+            s.spec, s.counters, s.pool.occupied.sum(),
+            (s.pool.alive & ~s.pool.at_event).sum(),
+            s.pool.record_pending.sum(), s.backlog_pos, s.sec.count))
+        self._spec_zero = None  # device-resident zero spectrum, made lazily
         # Sampler runs on CPU (f64) regardless of the engine dtype; inputs
         # are committed to the CPU device so jit compiles there.  The accept
         # tests run in log space (see emission.sample_photons), so the
@@ -406,10 +413,19 @@ class Simulation:
                                  jnp.asarray(limit, jnp.int32))
 
     # ------------------------------------------------------------------
+    def _spec_zero_dev(self):
+        """Cached device-resident zero spectrum (avoids one eager
+        zeros-upload dispatch per slice through the tunnel)."""
+        if self._spec_zero is None:
+            self._spec_zero = jax.device_put(
+                np.zeros((engine_mod.N_BINS + 1, engine_mod.N_SPEC_CHAN),
+                         jnp.dtype(self.cfg.dtype)))
+        return self._spec_zero
+
     def _drain_spec(self, state):
         """Move the device spectrum accumulator into the host f64 one."""
         self.spec_acc += np.asarray(jax.device_get(state.spec), np.float64)
-        return state._replace(spec=jnp.zeros_like(state.spec))
+        return state._replace(spec=self._spec_zero_dev())
 
     def _snapshot(self, state):
         return jax.device_get(state), self.spec_acc.copy()
@@ -420,7 +436,7 @@ class Simulation:
         return jax.device_put(state_host)
 
     def _run_wave(self, state, backlog_np, t0, c, n_chunks, total, start=0,
-                  remake_backlog=None, tail_exit=None):
+                  remake_backlog=None, tail_exit=None, n_valid=None):
         """Run one backlog wave in bounded slices with rate telemetry
         (the reference's 1 Hz photon-rate logging, harm_model.cpp:397-403),
         per-slice spectrum draining, and fault-retry from snapshots.
@@ -436,21 +452,29 @@ class Simulation:
             tail_exit = self._wave_tail_exit
         te = np.int32(tail_exit)
         backlog = jax.device_put(backlog_np)
+        # Valid-row horizon: device backlogs are emit_chunk-padded (rows
+        # past the wave limit carry w=0); stop the cursor there.
+        if n_valid is None:
+            n_valid = backlog.shape[0]
+        nv = np.int32(min(n_valid, backlog.shape[0]))
         snap = self._snapshot(state)
         retries = 0
         s = 0
         while True:
             try:
-                state = self._run_jit(state, backlog, te)
-                state.spec.block_until_ready()
-                state = self._drain_spec(state)
-                counters = jax.device_get(state.counters)
-                occupied = int(jax.device_get(state.pool.occupied.sum()))
-                moving = int(jax.device_get(
-                    (state.pool.alive & ~state.pool.at_event).sum()))
-                rpend = int(jax.device_get(state.pool.record_pending.sum()))
-                pos = int(state.backlog_pos)
-                sec = int(state.sec.count)
+                state = self._run_jit(state, backlog, te, nv)
+                # One jitted dispatch + one tunneled device_get for
+                # everything the slice loop needs: through the remote
+                # runtime every eager op and every separate fetch is a
+                # network roundtrip, and the previous ~8 roundtrips per
+                # slice cost ~0.5 ms/iter at slice_iters=1024 — a quarter
+                # of the whole hot-step budget.
+                spec_h, counters, occupied, moving, rpend, pos, sec = (
+                    jax.device_get(self._slice_stats(state)))
+                self.spec_acc += np.asarray(spec_h, np.float64)
+                state = state._replace(spec=self._spec_zero_dev())
+                occupied, moving, rpend = int(occupied), int(moving), int(rpend)
+                pos, sec = int(pos), int(sec)
             except jax.errors.JaxRuntimeError as err:
                 retries += 1
                 log.warning("TPU fault on wave %d slice %d (retry %d/%d): %s",
@@ -476,7 +500,7 @@ class Simulation:
                 done / max(elapsed, 1e-9),
             )
             finished = (
-                pos >= backlog.shape[0]
+                pos >= int(nv)
                 and sec == 0
                 and occupied <= tail_exit
             )
@@ -604,7 +628,7 @@ class Simulation:
                 k0, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)))
         state = self.engine["fresh_state"](k0)
         jax.block_until_ready(
-            self._run_jit(state, zero_backlog, np.int32(0)))
+            self._run_jit(state, zero_backlog, np.int32(0), np.int32(0)))
         # The tail-drain cascade engines (driver._drain_tail stage sizes).
         stage1 = max(256, self.cfg.n_pool // 16)
         one_row = jnp.zeros((1, engine_mod.ROW_WIDTH), self.cfg.dtype)
@@ -670,7 +694,7 @@ class Simulation:
                 state = self._run_wave(state, backlog, t0, c, len(waves),
                                        plan.total, start=start,
                                        remake_backlog=remake,
-                                       tail_exit=wave_te(c))
+                                       tail_exit=wave_te(c), n_valid=limit)
         else:
             overlap = os.environ.get("GRMONTY_EMIT_OVERLAP", "1") == "1"
             pool = ThreadPoolExecutor(max_workers=1)
@@ -687,7 +711,8 @@ class Simulation:
                     state = state._replace(backlog_pos=jnp.zeros((), jnp.int32))
                     state = self._run_wave(state, backlog_np, t0, c, len(waves),
                                            plan.total, start=start,
-                                           tail_exit=wave_te(c))
+                                           tail_exit=wave_te(c),
+                                           n_valid=limit)
             finally:
                 pool.shutdown(wait=False, cancel_futures=True)
 

@@ -115,6 +115,14 @@ class EngineConfig(typing.NamedTuple):
     #   between them, instead of ~15 XLA fusions.  Stream-identical to the
     #   XLA path (same hot_phase_a/b functions); TPU only.
     pallas_block: int = 8192  # lane-block size for the fused kernels
+    ev_k: int = 0  # compacted working-set width of the periodic phase
+    #   (scatter events, spectrum record, refill+init batches per phase);
+    #   0 = auto (n_pool/8).  This caps how many lanes can retire+reload
+    #   and how many deferred scatter events can be served per periodic
+    #   phase: in the Compton-storm regime (inner-torus zones) deaths and
+    #   events per phase exceed n_pool/8 and the pool starves at ~50%
+    #   occupancy with ~20% of occupied lanes parked at_event — raise
+    #   ev_k (or lower m_period) so ev_k >= deaths_per_iter * m_period.
     fluid_cache: bool = False  # carry each lane's bilinear corner row in
     #   the pool and re-gather only lanes whose cell changed (a few % per
     #   step), compacted (see fluid.get_fluid_params_frow).  Physically
@@ -1125,7 +1133,8 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
     # nonzero lowers through bincount into a pair-scan whose scoped-VMEM
     # scratch blows the 16 MB TPU limit at production pool sizes (observed
     # compile OOM: "reduce-window ... 19.10M ... limit 16.00M").
-    EV_K = min(cfg.n_pool, max(256, cfg.n_pool // 8))
+    EV_K = (min(cfg.n_pool, cfg.ev_k) if cfg.ev_k
+            else min(cfg.n_pool, max(256, cfg.n_pool // 8)))
 
     def compact_idx(mask, k):
         """First-k lane indices where mask, ascending; k-padded.
@@ -1232,7 +1241,8 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         )
         return p, sec, counters
 
-    def refill(p: Pool, sec: SecBuf, backlog_rows, backlog_pos, counters):
+    def refill(p: Pool, sec: SecBuf, backlog_rows, backlog_pos, counters,
+               n_valid=None):
         """Fill free slots: secondaries (LIFO) first, then backlog primaries.
 
         Two packed-row gathers replace the 13 per-field gathers of a naive
@@ -1244,6 +1254,11 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         """
         free = ~p.occupied
         t_total = backlog_rows.shape[0]
+        # Valid-row horizon: device-sampled backlogs are emit_chunk-padded
+        # (rows past the wave's limit carry w=0); stopping the cursor at
+        # n_valid skips consuming the padding 8192 rows/phase (the round-2
+        # pilot wave burned ~26 s chewing ~1M pad rows for 1024 photons).
+        nv = t_total if n_valid is None else n_valid
 
         # Cap loads per phase at EV_K so the fresh-lane init can run
         # compacted (init_fresh); in steady state retirements per phase are
@@ -1259,7 +1274,7 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
 
         bl_off_g = rank_g - n_sec
         bl_idx_g = backlog_pos + jnp.maximum(bl_off_g, 0)
-        from_bl_g = valid_g & (rank_g >= n_sec) & (bl_idx_g < t_total)
+        from_bl_g = valid_g & (rank_g >= n_sec) & (bl_idx_g < nv)
         bl_idx_g = jnp.clip(bl_idx_g, 0, t_total - 1)
         load_g = from_sec_g | from_bl_g
 
@@ -1381,7 +1396,7 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
             )
         return p
 
-    def periodic_phase(state: State, backlog_rows) -> State:
+    def periodic_phase(state: State, backlog_rows, n_valid=None) -> State:
         p, spec, counters, sec = state.pool, state.spec, state.counters, state.sec
         key, k_sc = random.split(state.key)
         occ0 = p.occupied  # for the retired-steps accounting below
@@ -1416,7 +1431,7 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         backlog_pos = state.backlog_pos
         if "refill" not in dbg:
             p, sec, backlog_pos, counters, fresh = refill(
-                p, sec, backlog_rows, state.backlog_pos, counters
+                p, sec, backlog_rows, state.backlog_pos, counters, n_valid
             )
             p = init_fresh(p, fresh, counters)
 
@@ -1436,26 +1451,29 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
     # v5e): XLA already overlaps the small carry copies with compute, and
     # the pack/unpack materialization adds ~15 MB/iter of real traffic.
     # ------------------------------------------------------------------
-    def run(state: State, backlog_rows, tail_exit=None) -> State:
+    def run(state: State, backlog_rows, tail_exit=None, n_valid=None) -> State:
         """One engine dispatch.  ``tail_exit`` may be a traced scalar — the
         occupancy below which the wave may end once its backlog is spent —
         so ONE compiled executable serves pool-full wave handoff
         (tail_exit=n_pool), the pilot-wave counter-warmup drain, and the
         final full-width drain; None falls back to the static
-        cfg.tail_exit (the tail-cascade engines and the sharded path)."""
+        cfg.tail_exit (the tail-cascade engines and the sharded path).
+        ``n_valid`` (traced scalar) is the count of real rows in a padded
+        backlog; the cursor stops there instead of chewing the padding."""
         t_total = backlog_rows.shape[0]
         n_super = max(1, cfg.m_period)
         te = cfg.tail_exit if tail_exit is None else tail_exit
+        nv = t_total if n_valid is None else n_valid
 
         def cond(state):
             return (
                 (jnp.sum(state.pool.occupied) > te)
-                | (state.backlog_pos < t_total)
+                | (state.backlog_pos < nv)
                 | (state.sec.count > 0)
             ) & (state.it < cfg.max_outer)
 
         def body(state):
-            state = periodic_phase(state, backlog_rows)
+            state = periodic_phase(state, backlog_rows, n_valid)
             return lax.fori_loop(0, n_super, lambda i, s: hot_step(s), state)
 
         state = lax.while_loop(cond, body, state)

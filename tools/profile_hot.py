@@ -41,10 +41,18 @@ def main():
         fp_iters=int(os.environ.get("MICRO_FP_ITERS", "2")),
         interp_geom=os.environ.get("MICRO_INTERP", "0") == "1",
     )
-    sim = driver.Simulation(dump, photon_n=500_000, mass_unit=4e19,
+    sim = driver.Simulation(dump, photon_n=1_000_000, mass_unit=4e19,
                             config=cfg, emit_chunk=pool * 8)
     plan = sim.plan()
-    backlog = sim.emit_packed(plan, 0, pool * 8)
+    # Default to the Compton-storm segment of the plan (see bench_micro.py:
+    # the first ~1M rows are an idle-pool regime that under-reports the
+    # gather-bound hot-step cost by ~3x).
+    start = int(os.environ.get("MICRO_START", str(2 << 20)))
+    start = max(0, min(start, plan.total - pool * 8))
+    if jax.default_backend() == "cpu":
+        backlog = sim.emit_packed(plan, start, pool * 8)
+    else:
+        backlog, _ = sim.emit_packed_dev(plan, start, pool * 8)
     state = sim.engine["fresh_state"](random.PRNGKey(0))
     state = jax.jit(sim.engine["periodic_phase"])(state, backlog)
     state = sim._run_jit(state, backlog)
