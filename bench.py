@@ -80,7 +80,10 @@ def main():
     sim = driver.Simulation(
         dump, photon_n=photon_n, mass_unit=4.0e19, config=cfg,
         emit_chunk=int(os.environ.get("BENCH_EMIT_CHUNK", str(1 << 20))),
-        slice_iters=int(os.environ.get("BENCH_SLICE", "1024")),
+        # 2048 iters/slice: telemetry costs ~2 tunneled roundtrips per
+        # slice (~60 ms each), so longer slices amortize them; fault-retry
+        # granularity stays bounded by the per-slice snapshot cadence.
+        slice_iters=int(os.environ.get("BENCH_SLICE", "2048")),
         wave_tail_exit=pool,
     )
     spec, stats = sim.run()

@@ -26,6 +26,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main():
     import jax
+
+    # Opt-in PRNG implementation A/B (e.g. MICRO_PRNG=rbg: the TPU's
+    # hardware rng-bit-generator instead of software threefry — the hot
+    # step draws 2 pool-wide uniforms per iteration).
+    if os.environ.get("MICRO_PRNG"):
+        jax.config.update("jax_default_prng_impl", os.environ["MICRO_PRNG"])
     import jax.numpy as jnp
     from jax import random
 
