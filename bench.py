@@ -69,6 +69,8 @@ def main():
         # per period in the Compton-storm segment (occupancy ~43%);
         # 16384 lifts occupancy to ~80% and 2.3x's the photon rate.
         ev_k=int(os.environ.get("BENCH_EV_K", "16384")),
+        fluid_cache=os.environ.get("BENCH_FLUID_CACHE", "0") == "1",
+        pallas_hot=os.environ.get("BENCH_PALLAS", "0") == "1",
     )
     dump = find_dump()
     # Waves hand off with the pool still full: wave_tail_exit=pool means a

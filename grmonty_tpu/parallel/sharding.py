@@ -45,10 +45,12 @@ def _state_specs():
     progress (backlog_pos, sec.count) is then visible to the host without
     any replication assumption.
     """
-    two_d = ("x", "k", "dkdlam", "frow")  # (., N) arrays: shard the lane axis
+    vec4 = lambda: (P("ph"),) * 4  # 4-tuples of (N,) components
     pool = engine_mod.Pool(
-        **{f: P(None, "ph") for f in two_d},
-        **{f: P("ph") for f in engine_mod.Pool._fields if f not in two_d},
+        x=vec4(), k=vec4(), dkdlam=vec4(),
+        frow=(),  # fluid_cache is unsupported sharded (guarded in __init__)
+        **{f: P("ph") for f in engine_mod.Pool._fields
+           if f not in ("x", "k", "dkdlam", "frow")},
     )
     sec = engine_mod.SecBuf(rows=P("ph", None), count=P("ph"))
     counters = engine_mod.Counters(*([P("ph")] * len(engine_mod.Counters._fields)))
@@ -95,6 +97,9 @@ class ShardedSimulation(driver_mod.Simulation):
         n_devices = n_devices or len(devices)
         if len(devices) < n_devices:
             raise ValueError(f"need {n_devices} devices, have {len(devices)}")
+        cfg = kwargs.get("config")
+        if cfg is not None and getattr(cfg, "fluid_cache", False):
+            raise ValueError("fluid_cache is not supported on the sharded path")
         self.n_devices = n_devices
         self.mesh = Mesh(np.array(devices[:n_devices]), ("ph",))
         # per-shard chunks drain fully (stragglers only block their own shard)

@@ -596,16 +596,16 @@ class Simulation:
                 n_left = int(leftover.occupied.sum())
                 if n_left:
                     li = np.nonzero(leftover.occupied)[0]
-                    wi = np.asarray(take[:0])  # placeholder
                     free = np.nonzero(~np.asarray(wide.occupied))[0][:n_left]
                     wide_h = jax.tree.map(np.asarray, wide)
-                    upd = {}
-                    for f in wide_h._fields:
-                        arr = getattr(wide_h, f).copy()
-                        if arr.shape[-1]:
-                            arr[..., free] = getattr(leftover, f)[..., li]
-                        upd[f] = jnp.asarray(arr)
-                    wide = engine_mod.Pool(**upd)
+
+                    def merge(aw, al):
+                        if aw.shape[-1]:
+                            aw = aw.copy()
+                            aw[..., free] = al[..., li]
+                        return jnp.asarray(aw)
+
+                    wide = jax.tree.map(merge, wide_h, leftover)
                 state = state._replace(
                     pool=wide, spec=tstate.spec, counters=tstate.counters,
                     sec=tstate.sec, key=tstate.key,

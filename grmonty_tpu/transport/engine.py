@@ -167,9 +167,16 @@ class Tables(typing.NamedTuple):
 
 
 class Pool(typing.NamedTuple):
-    x: jnp.ndarray  # (4, N)
-    k: jnp.ndarray  # (4, N)
-    dkdlam: jnp.ndarray  # (4, N)
+    # 4-vectors live as tuples of 4 independent (N,) component arrays, NOT
+    # (4, N) stacks: a (4, N) f32 carry gets a T(4,128) HBM tiling (half of
+    # the native (8,128) vector tile) and its component slices materialize
+    # as T(1,128) — 1/8 sublane utilization — inside the hot fusions (seen
+    # in a real v5e profile; tools/probe_layout.py).  Separate (N,) arrays
+    # tile natively and the hot phases consume/produce them with zero
+    # stack/unstack traffic.
+    x: tuple  # 4 x (N,)
+    k: tuple  # 4 x (N,)
+    dkdlam: tuple  # 4 x (N,)
     w: jnp.ndarray  # all below: (N,)
     e: jnp.ndarray
     l: jnp.ndarray
@@ -188,7 +195,10 @@ class Pool(typing.NamedTuple):
     pend_dl: jnp.ndarray  # remaining re-push length for a decided scatter
     dl_shrink: jnp.ndarray  # per-lane adaptive step shrink in [2^-7, 1]
     sec_w: jnp.ndarray  # secondary weight frozen at decision time
-    frow: jnp.ndarray  # (32, N) cached bilinear corner row (fluid_cache)
+    frow: tuple  # 32 x (N,) cached bilinear corner row components
+    #   (fluid_cache only; () when disabled).  Component arrays — not a
+    #   (32, N) stack — so the compacted refresh is 32 in-place 1D lane
+    #   scatters instead of a column scatter that defeats carry aliasing.
     cell: jnp.ndarray  # (N,) int32 cell id the cache was gathered for (-1 none)
     n_scatt: jnp.ndarray  # int32
     n_step: jnp.ndarray  # int32
@@ -229,22 +239,34 @@ class State(typing.NamedTuple):
     it: jnp.ndarray  # int32 hot-iteration counter
 
 
+def isnan4(v):
+    """Any-NaN mask over a 4-tuple of (N,) components."""
+    return (jnp.isnan(v[0]) | jnp.isnan(v[1])
+            | jnp.isnan(v[2]) | jnp.isnan(v[3]))
+
+
+def where4(m, a, b):
+    """Per-component select over 4-tuples of (N,) components."""
+    return tuple(jnp.where(m, ai, bi) for ai, bi in zip(a, b))
+
+
 def empty_pool(n, dtype, fluid_cache=False):
     z = lambda: jnp.zeros((n,), dtype)
     zi = lambda: jnp.zeros((n,), jnp.int32)
     zb = lambda: jnp.zeros((n,), bool)
-    z4 = lambda: jnp.zeros((4, n), dtype)
-    # The corner-row cache fields are allocated zero-sized unless the
-    # fluid_cache path is on: (32, N) f32 is 8 MB at the bench pool size,
-    # and a dead carry of that size still pays HBM<->VMEM traffic at every
-    # phase boundary of the hot while_loop.
+    z4 = lambda: (z(), z(), z(), z())
+    # The corner-row cache fields exist only when the fluid_cache path is
+    # on: 32 x (N,) f32 is 8 MB at the bench pool size, and a dead carry of
+    # that size still pays HBM<->VMEM traffic at every phase boundary of
+    # the hot while_loop.
     nc = n if fluid_cache else 0
     return Pool(
         x=z4(), k=z4(), dkdlam=z4(), w=z(), e=z(), l=z(), x1i=z(), x2i=z(),
         tau_abs=z(), tau_scatt=z(), n_e_0=z(), theta_e_0=z(), b_0=z(), e_0=z(),
         e_0_s=z(), alpha_scatti=z(), alpha_absi=z(), bi=z(), pend_dl=z(),
         dl_shrink=jnp.ones((n,), dtype), sec_w=z(),
-        frow=jnp.zeros((32, nc), dtype), cell=jnp.full((nc,), -1, jnp.int32),
+        frow=(tuple(z() for _ in range(32)) if fluid_cache else ()),
+        cell=jnp.full((nc,), -1, jnp.int32),
         n_scatt=zi(), n_step=zi(), ev_tries=zi(),
         occupied=zb(), alive=zb(), interacting=zb(), pend_push=zb(),
         at_event=zb(), record_pending=zb(),
@@ -839,8 +861,8 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
                 mc, hc_coeffs, k2_coeffs, weight_min, cfg.stall_steps,
             )
         p = p._replace(
-            x=jnp.stack(B["x"]), k=jnp.stack(B["k"]),
-            dkdlam=jnp.stack(B["dkdlam"]), e_0_s=B["e_0_s"],
+            x=B["x"], k=B["k"],
+            dkdlam=B["dkdlam"], e_0_s=B["e_0_s"],
             dl_shrink=A["dl_shrink"], pend_dl=B["pend_dl"],
             pend_push=B["pend_push"], at_event=A["at_event"], w=B["w"],
             alive=B["alive"], record_pending=A["record_pending"],
@@ -899,9 +921,9 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
                 seg, act, at_floor,
             )
         p = p._replace(
-            x=jnp.stack(xc),
-            k=jnp.stack(kc),
-            dkdlam=jnp.stack(dkc),
+            x=xc,
+            k=kc,
+            dkdlam=dkc,
             e_0_s=e0sn,
             dl_shrink=jnp.where(
                 act & ~commit,
@@ -958,9 +980,11 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
             zg = z_new[gi_g]
             rows_g = corner_rows[jnp.where(valid_g, zg, 0)]  # (EV_K, 32)
             p = p._replace(
-                frow=p.frow.at[:, sidx_g].set(
-                    jnp.where(valid_g, rows_g.T, p.frow[:, gi_g]),
-                    mode="drop"),
+                frow=tuple(
+                    p.frow[m].at[sidx_g].set(
+                        jnp.where(valid_g, rows_g[:, m], p.frow[m][gi_g]),
+                        mode="drop")
+                    for m in range(32)),
                 cell=p.cell.at[sidx_g].set(
                     jnp.where(valid_g, zg, p.cell[gi_g]), mode="drop"),
             )
@@ -1008,11 +1032,10 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
 
         # Scatter lanes roll back to the pre-step state and re-push by frac*dl.
         roll = scatter & ~absorbed
-        rl = roll[None, :]
         p = p._replace(
-            x=jnp.where(rl, x_pre, p.x),
-            k=jnp.where(rl, k_pre, p.k),
-            dkdlam=jnp.where(rl, dk_pre, p.dkdlam),
+            x=where4(roll, x_pre, p.x),
+            k=where4(roll, k_pre, p.k),
+            dkdlam=where4(roll, dk_pre, p.dkdlam),
             e_0_s=jnp.where(roll, e0s_pre, p.e_0_s),
             pend_dl=jnp.where(roll, seg * frac, p.pend_dl),
             sec_w=jnp.where(roll, sec_w, p.sec_w),
@@ -1290,25 +1313,20 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         rows = jnp.zeros((cfg.n_pool, ROW_WIDTH), dt).at[sidx_g].set(
             rows_g, mode="drop").T  # (16, N): components into the sublane dim
 
-        x_new = rows[0:4]
-        k_new = rows[4:8]
+        x_new = tuple(rows[m] for m in range(0, 4))
+        k_new = tuple(rows[m] for m in range(4, 8))
         w = rows[ROW_W]
         e = rows[ROW_E]
 
         # Invalid photons are dropped on load (harm_model.cpp:895-900).
-        bad = (
-            jnp.any(jnp.isnan(x_new), axis=0)
-            | jnp.any(jnp.isnan(k_new), axis=0)
-            | (w == 0.0)
-        )
+        bad = isnan4(x_new) | isnan4(k_new) | (w == 0.0)
         ok = load & ~bad
 
-        ld = load[None, :]
         zero = jnp.zeros_like(w)
         pick = lambda row, cur: jnp.where(load, row, cur)
         p = p._replace(
-            x=jnp.where(ld, x_new, p.x),
-            k=jnp.where(ld, k_new, p.k),
+            x=where4(load, x_new, p.x),
+            k=where4(load, k_new, p.k),
             w=pick(w, p.w),
             e=pick(e, p.e),
             l=pick(rows[ROW_L], p.l),
@@ -1375,7 +1393,7 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
             return dst.at[sidx].set(jnp.where(valid, val, dst[gi]), mode="drop")
 
         p = p._replace(
-            dkdlam=jnp.stack([put(p.dkdlam[m], dk0[m]) for m in range(4)]),
+            dkdlam=tuple(put(p.dkdlam[m], dk0[m]) for m in range(4)),
             alpha_scatti=put(p.alpha_scatti, jnp.where(inside, a_sc, 0.0)),
             alpha_absi=put(p.alpha_absi, jnp.where(inside, a_ab, 0.0)),
             bi=put(p.bi, jnp.where(inside, b0, 0.0)),
@@ -1389,8 +1407,11 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
             zf = (ii * mc.n2 + jj).astype(jnp.int32)
             rows_f = corner_rows[jnp.where(valid, zf, 0)]
             p = p._replace(
-                frow=p.frow.at[:, sidx].set(
-                    jnp.where(valid, rows_f.T, p.frow[:, gi]), mode="drop"),
+                frow=tuple(
+                    p.frow[m].at[sidx].set(
+                        jnp.where(valid, rows_f[:, m], p.frow[m][gi]),
+                        mode="drop")
+                    for m in range(32)),
                 cell=p.cell.at[sidx].set(
                     jnp.where(valid, zf, p.cell[gi]), mode="drop"),
             )
@@ -1403,9 +1424,7 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
 
         # NaN insurance: poisoned lanes die unrecorded.
         poison = p.occupied & (
-            jnp.any(jnp.isnan(p.x), axis=0)
-            | jnp.any(jnp.isnan(p.k), axis=0)
-            | jnp.isnan(p.w)
+            isnan4(p.x) | isnan4(p.k) | jnp.isnan(p.w)
         )
         p = p._replace(
             alive=p.alive & ~poison,

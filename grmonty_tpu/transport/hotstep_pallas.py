@@ -257,8 +257,7 @@ def make_hot_step(mc, cfg, hc_coeffs, k2_coeffs, corner_rows, weight_min,
 
         fl = lambda a: a.reshape(n)
         bl = lambda m: m.reshape(n) != 0
-        vec = lambda c0, c1, c2, c3: jnp.stack(
-            [fl(c0), fl(c1), fl(c2), fl(c3)])
+        vec = lambda c0, c1, c2, c3: (fl(c0), fl(c1), fl(c2), fl(c3))
         p = p._replace(
             x=vec(xb0, xb1, xb2, xb3), k=vec(kb0, kb1, kb2, kb3),
             dkdlam=vec(dkb0, dkb1, dkb2, dkb3), e_0_s=fl(e0sb),

@@ -52,6 +52,27 @@ def main():
             t8 = timed(chain(8))
             t32 = timed(chain(32))
             out[f"w{w}_{name}_ms"] = round((t32 - t8) / 24 * 1e3, 4)
+
+    # Does the cost depend on TABLE footprint (VMEM-resident vs HBM)?
+    # A (zt, 32) f32 table is 128 B/row: zt=4096 -> 0.5 MB (VMEM-easy),
+    # zt=65536 -> 8 MB.  If small tables gather much faster, a
+    # low-footprint field representation beats row-width tricks.
+    for zt in (1024, 4096, 16384, 65536):
+        table = random.normal(key, (zt, 32), jnp.float32)
+        idxt = random.randint(key, (n,), 0, zt - 1, jnp.int32)
+
+        def chain(iters):
+            @jax.jit
+            def f(i0):
+                def body(j, acc):
+                    g = table[(i0 + j) % zt]
+                    return acc + g.sum()
+                return lax.fori_loop(0, iters, body, jnp.float32(0))
+            return f
+
+        t8 = timed(chain(8))
+        t32 = timed(chain(32))
+        out[f"z{zt}_w32_f32_ms"] = round((t32 - t8) / 24 * 1e3, 4)
     print(json.dumps(out))
 
 

@@ -96,9 +96,9 @@ def main():
     p = state.pool
     mc = sim.mc
     push = sim.engine["push_batch"]
-    xT = jnp.asarray(p.x.T)
-    kT = jnp.asarray(p.k.T)
-    dkT = jnp.asarray(p.dkdlam.T)
+    xT = jnp.stack(p.x, axis=-1)
+    kT = jnp.stack(p.k, axis=-1)
+    dkT = jnp.stack(p.dkdlam, axis=-1)
 
     def mk_push(K):
         def body(i, s):
