@@ -70,6 +70,7 @@ def main():
         # 16384 lifts occupancy to ~80% and 2.3x's the photon rate.
         ev_k=int(os.environ.get("BENCH_EV_K", "16384")),
         fluid_cache=os.environ.get("BENCH_FLUID_CACHE", "0") == "1",
+        grow_cap=float(os.environ.get("BENCH_GROW_CAP", "1.0")),
         pallas_hot=os.environ.get("BENCH_PALLAS", "0") == "1",
     )
     dump = find_dump()

@@ -123,6 +123,16 @@ class EngineConfig(typing.NamedTuple):
     #   events per phase exceed n_pool/8 and the pool starves at ~50%
     #   occupancy with ~20% of occupied lanes parked at_event — raise
     #   ev_k (or lower m_period) so ev_k >= deaths_per_iter * m_period.
+    grow_cap: float = 1.0  # upper clamp on the per-lane adaptive step
+    #   factor dl_shrink.  1.0 (default) = reference semantics: a lane's
+    #   step never exceeds the nominal step_size (harm_model.cpp:1620-30).
+    #   >1 lets well-behaved lanes GROW their step beyond nominal, still
+    #   gated by the same two error tests (fixed-point convergence and
+    #   conserved-energy drift) that gate halving — an accuracy-controlled
+    #   deviation that directly divides steps/photon.  Pend-push segments
+    #   are clamped to the remaining re-push length so scatter events still
+    #   land exactly.  Validate spectrum drift (validate_accuracy) before
+    #   adopting a value.
     fluid_cache: bool = False  # carry each lane's bilinear corner row in
     #   the pool and re-gather only lanes whose cell changed (a few % per
     #   step), compacted (see fluid.get_fluid_params_frow).  Physically
@@ -353,7 +363,8 @@ def push_attempt_c(x, k, dkdlam, e_0_s, seg_dl, active, at_floor,
 
 def hot_phase_a(x, k, dkdlam, e_0_s, dl_shrink, pend_dl, pend_push, at_event,
                 alive, w, record_pending, u_roul,
-                mc, fp_iters, weight_min, shrink_floor, ref_err_metric=False):
+                mc, fp_iters, weight_min, shrink_floor, ref_err_metric=False,
+                grow_cap=1.0):
     """Pre-gather half of the hot iteration, pure and elementwise.
 
     step_size -> geodesic push attempt -> per-lane shrink control ->
@@ -378,6 +389,10 @@ def hot_phase_a(x, k, dkdlam, e_0_s, dl_shrink, pend_dl, pend_push, at_event,
         geometry.step_size_c(x[1], x[2], k[1], k[2], k[3], mc.x_stop[2]),
     )
     seg = dl_full * dl_shrink
+    # A growing step (grow_cap > 1) must not overshoot a decided scatter
+    # event: the re-push segment is capped at the remaining pend length.
+    # Exact no-op at grow_cap = 1 (seg <= dl_full always holds there).
+    seg = jnp.where(pend_push, jnp.minimum(seg, dl_full), seg)
     at_floor = dl_shrink <= shrink_floor
     act = moving & ~(x[1] < mc.x_start[1])
 
@@ -388,7 +403,7 @@ def hot_phase_a(x, k, dkdlam, e_0_s, dl_shrink, pend_dl, pend_push, at_event,
     dl_shrink_n = jnp.where(
         act & ~commit,
         jnp.maximum(dl_shrink * 0.5, shrink_floor),
-        jnp.minimum(dl_shrink * 2.0, 1.0),
+        jnp.minimum(dl_shrink * 2.0, grow_cap),
     )
 
     was_pend = pend_push
@@ -844,6 +859,7 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
                 p.dl_shrink, p.pend_dl, p.pend_push, p.at_event, p.alive,
                 p.w, p.record_pending, u_roul,
                 mc, cfg.fp_iters, weight_min, SHRINK_FLOOR, cfg.ref_err_metric,
+                cfg.grow_cap,
             )
         if gather_fn is None:
             rows = corner_rows[A["z"]]
@@ -907,6 +923,8 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
             geometry.step_size_c(p.x[1], p.x[2], p.k[1], p.k[2], p.k[3], x2_stop),
         )
         seg = dl_full * p.dl_shrink
+        # grow_cap > 1: never overshoot a decided scatter's re-push length
+        seg = jnp.where(p.pend_push, jnp.minimum(seg, dl_full), seg)
         at_floor = p.dl_shrink <= SHRINK_FLOOR
         # The reference freezes photons with x1 < x_start1 (horizon plunge).
         act = moving & ~(p.x[1] < mc.x_start[1])
@@ -928,7 +946,7 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
             dl_shrink=jnp.where(
                 act & ~commit,
                 jnp.maximum(p.dl_shrink * 0.5, SHRINK_FLOOR),
-                jnp.minimum(p.dl_shrink * 2.0, 1.0),
+                jnp.minimum(p.dl_shrink * 2.0, cfg.grow_cap),
             ),
         )
 
