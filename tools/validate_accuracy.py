@@ -41,6 +41,11 @@ def main():
     ap.add_argument("--json", default=None)
     ap.add_argument("--group", type=int, default=10,
                     help="energy bins per chi^2 group")
+    ap.add_argument("--oracle-npz", default=None,
+                    help="persist/reuse the oracle spectrum here: if the "
+                    "file exists it is loaded instead of re-running the "
+                    "~hours-long oracle (valid for the same dump/photons/"
+                    "seed), otherwise the oracle runs and saves to it")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -71,31 +76,73 @@ def main():
                             mass_unit=args.mass_unit, config=cfg,
                             emit_chunk=4096, seed=args.seed, warmup=256)
 
-    # --- engine run on the full plan -----------------------------------
-    t0 = time.time()
-    spec_e, stats_e = sim.run()
-    t_eng = time.time() - t0
-    n_eng = stats_e["n_created"]
-
-    # --- oracle run on a fixed emission sample -------------------------
+    # --- identical emission sample for BOTH sides -----------------------
+    # (the zone sweep is ordered, so any "first K photons" prefix is a
+    # zone-biased subsample — comparing it against a full-plan run mixes
+    # populations and the ratios become meaningless; both trackers must
+    # consume the same photons)
     plan = sim.plan()
     n_orc = min(args.photons, plan.total)
-    backlog = jax.device_get(sim.emit(plan, 0, n_orc))
-    backlog = backlog._replace(w=np.asarray(backlog.w) / sim.cfg.weight_scale)
-    tr = cpu_reference.CPUTracker(sim.mc, sim.tables, sim.prims, seed=args.seed + 1)
+    batch = sim.emit(plan, 0, n_orc)  # engine-scaled weights
+
+    # --- engine run on that sample --------------------------------------
+    from jax import random as jrandom
+
+    rows = engine.pack_rows(jax.device_get(batch), sim.cfg.dtype)
+    rows_dev = jnp.asarray(rows)
+    eng = sim.engine
+    run = jax.jit(eng["run"])
+    state = eng["fresh_state"](jrandom.PRNGKey(args.seed + 2))
     t0 = time.time()
-    tr.run(backlog, limit=n_orc)
-    t_orc = time.time() - t0
+    # Drain to low occupancy at full width, then hand the straggler
+    # orbiters (up to the 1e5-step cap each) to the driver's shrinking
+    # tail cascade — a full-width pool paying 1e5 iterations for a few
+    # lanes dominates the wall clock otherwise.
+    tail = jnp.asarray(min(256, sim.cfg.n_pool), jnp.int32)
+    while True:
+        state = run(state._replace(it=jnp.zeros((), jnp.int32)), rows_dev,
+                    tail)
+        if (int(state.backlog_pos) >= rows.shape[0]
+                and int(state.sec.count) == 0
+                and int(jnp.sum(state.pool.occupied)) <= int(tail)):
+            break
+    state = sim._drain_tail(state)
+    t_eng = time.time() - t0
+    n_eng = n_orc
+    n_rec_e = int(state.counters.n_recorded)
+    spec_e = driver.unscale_spectrum(
+        np.asarray(jax.device_get(state.spec), np.float64),
+        sim.cfg.weight_scale,
+    )
+
+    # --- oracle run on the same sample (persisted: ~hours) ---------------
+    NB, NE = consts.N_TH_BINS, consts.N_E_BINS
+    if args.oracle_npz and os.path.exists(args.oracle_npz):
+        dat = np.load(args.oracle_npz)
+        so, n_rec_o, t_orc = dat["spec"], int(dat["n_recorded"]), float(dat["seconds"])
+        assert int(dat["n_photons"]) == n_orc, "oracle cache photon count mismatch"
+    else:
+        backlog = jax.device_get(batch)
+        backlog = backlog._replace(w=np.asarray(backlog.w) / sim.cfg.weight_scale)
+        tr = cpu_reference.CPUTracker(sim.mc, sim.tables, sim.prims,
+                                      seed=args.seed + 1)
+        t0 = time.time()
+        tr.run(backlog, limit=n_orc)
+        t_orc = time.time() - t0
+        so, n_rec_o = np.asarray(tr.spec), int(tr.n_recorded)
+        if args.oracle_npz:
+            np.savez(args.oracle_npz, spec=so, n_recorded=n_rec_o,
+                     seconds=t_orc, n_photons=n_orc, seed=args.seed,
+                     mass_unit=args.mass_unit)
 
     # --- comparisons ----------------------------------------------------
-    NB, NE = consts.N_TH_BINS, consts.N_E_BINS
     se = spec_e[: NB * NE].reshape(NB, NE, 13)
-    so = tr.spec  # (NB, NE, 13)
+    so = so.reshape(NB, NE, 13)
 
     lum_e = se[:, :, 1].sum() / n_eng
     lum_o = so[:, :, 1].sum() / n_orc
-    rec_e = stats_e["n_recorded"] / n_eng
-    rec_o = tr.n_recorded / n_orc
+    rec_e = n_rec_e / n_eng
+    rec_o = n_rec_o / n_orc
 
     # chi^2 over coarse groups of the theta-summed energy spectrum,
     # using per-group MC variance estimated from photon counts.
