@@ -46,6 +46,9 @@ def main():
                     "file exists it is loaded instead of re-running the "
                     "~hours-long oracle (valid for the same dump/photons/"
                     "seed), otherwise the oracle runs and saves to it")
+    ap.add_argument("--grow-cap", type=float, default=1.0,
+                    help="engine grow_cap to validate against the oracle "
+                    "(the oracle always integrates at reference semantics)")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -70,7 +73,7 @@ def main():
 
     cfg = engine.EngineConfig(
         n_pool=1024, m_period=8, sec_cap=16384, max_outer=200000,
-        stall_steps=100000,
+        stall_steps=100000, grow_cap=args.grow_cap,
     )
     sim = driver.Simulation(dump, photon_n=args.photon_n,
                             mass_unit=args.mass_unit, config=cfg,
@@ -174,6 +177,7 @@ def main():
         "dof": dof,
         "chi2_per_dof": chi2 / max(dof, 1),
         "mass_unit": args.mass_unit,
+        "grow_cap": args.grow_cap,
     }
     print(json.dumps(out, indent=2))
     if args.json:
