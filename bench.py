@@ -100,6 +100,9 @@ def main():
         "vs_baseline": round(rate / REFERENCE_RATE, 3),
         "steps_per_photon": round(stats.get("steps_per_photon", 0.0), 1),
         "n_recorded": stats["n_recorded"],
+        "util": [round(stats.get(k, 0.0), 3) for k in
+                 ("util_occupied", "util_moving", "util_committed",
+                  "util_parked")],
     }))
 
 

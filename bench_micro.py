@@ -136,6 +136,21 @@ def main():
 
     rounds = int(jax.jit(sim.engine["push_rounds"])(state))
 
+    # Lane-slot utilization over the measured slice (XLA paths only; the
+    # Pallas hot step leaves the ls_* counters zero).
+    dc = jax.device_get(s_out.counters)
+    c0 = jax.device_get(state.counters)
+    d_iters = int(dc.ls_iters - c0.ls_iters)
+    util = {}
+    if d_iters > 0:
+        slots = float(d_iters * pool)
+        util = {
+            "util_occupied": round(float(dc.ls_occupied - c0.ls_occupied) / slots, 3),
+            "util_moving": round(float(dc.ls_moving - c0.ls_moving) / slots, 3),
+            "util_committed": round(float(dc.ls_committed - c0.ls_committed) / slots, 3),
+            "util_parked": round(float(dc.ls_parked - c0.ls_parked) / slots, 3),
+        }
+
     print(json.dumps({
         "metric": "hot_step_ms",
         "value": round(hot_ms, 3),
@@ -147,6 +162,7 @@ def main():
         "slice_ms_per_iter": round(t_slice / max(slice_iters, 1) * 1e3, 3),
         "slice_iters": slice_iters,
         "occ_after": occ_after,
+        **util,
     }))
 
 

@@ -34,6 +34,10 @@ def build_parser():
     p.add_argument("--seed", type=int, default=123, help="RNG seed")
     p.add_argument("--devices", type=int, default=0,
                    help="shard the photon pool over this many devices (0 = single)")
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="write a jax.profiler trace of the transport run here "
+                   "(view with tensorboard/xprof; the reference's analogue is "
+                   "nvcc --generate-line-info + Nsight, .bazelrc:9)")
     return p
 
 
@@ -66,7 +70,16 @@ def main(argv=None):
             args.harm_dump_path, photon_n=int(args.photon_n),
             mass_unit=args.mass_unit, seed=args.seed, config=cfg,
         )
-    spec, stats = sim.run()
+    import contextlib
+
+    if args.profile_dir:
+        import jax
+
+        prof = jax.profiler.trace(args.profile_dir)
+    else:
+        prof = contextlib.nullcontext()
+    with prof:
+        spec, stats = sim.run()
     sim.report(args.spectrum_path)
     log.info("Done: %.0f photons/s", stats["photon_rate"])
     return 0

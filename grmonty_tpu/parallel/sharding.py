@@ -137,6 +137,11 @@ class ShardedSimulation(driver_mod.Simulation):
                 n_sec_drop=jnp.sum(counters.n_sec_drop),
                 n_retired=jnp.sum(counters.n_retired),
                 n_steps_retired=jnp.sum(counters.n_steps_retired),
+                ls_iters=jnp.sum(counters.ls_iters),
+                ls_occupied=jnp.sum(counters.ls_occupied),
+                ls_moving=jnp.sum(counters.ls_moving),
+                ls_committed=jnp.sum(counters.ls_committed),
+                ls_parked=jnp.sum(counters.ls_parked),
             )
 
         self._reduce = _reduce

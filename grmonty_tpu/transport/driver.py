@@ -732,6 +732,15 @@ class Simulation:
             "steps_per_photon": float(counters.n_steps_retired)
             / max(float(counters.n_retired), 1.0),
         }
+        # Lane-slot utilization decomposition (zero on the Pallas hot path,
+        # which does not maintain these counters).
+        slots = float(counters.ls_iters) * float(self.cfg.n_pool)
+        if slots > 0:
+            stats["hot_iters"] = int(counters.ls_iters)
+            stats["util_occupied"] = float(counters.ls_occupied) / slots
+            stats["util_moving"] = float(counters.ls_moving) / slots
+            stats["util_committed"] = float(counters.ls_committed) / slots
+            stats["util_parked"] = float(counters.ls_parked) / slots
         log.info("Final rate %.2f ph/s", stats["photon_rate"])
         log.info("Super photons: created %d, recorded %d",
                  stats["n_created"], stats["n_recorded"])

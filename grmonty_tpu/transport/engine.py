@@ -237,6 +237,16 @@ class Counters(typing.NamedTuple):
     n_sec_drop: jnp.ndarray  # int64: secondaries lost to buffer overflow
     n_retired: jnp.ndarray  # int64: lanes retired (recorded or died)
     n_steps_retired: jnp.ndarray  # int64: sum of n_step over retired lanes
+    # Lane-slot utilization accounting (XLA hot-step paths only; the fused
+    # Pallas kernel leaves these zero).  One pool-iteration offers n_pool
+    # lane-slots; these decompose where they go: occupied (lane holds a
+    # photon), moving (alive and not parked at a scatter event), committed
+    # (the geodesic attempt passed both error tests and advanced).
+    ls_iters: jnp.ndarray  # int64: hot iterations accumulated
+    ls_occupied: jnp.ndarray  # int64: sum over iterations of occupied lanes
+    ls_moving: jnp.ndarray  # int64: sum of moving lanes
+    ls_committed: jnp.ndarray  # int64: sum of committed (useful) pushes
+    ls_parked: jnp.ndarray  # int64: sum of at_event lanes (scatter parking)
 
 
 class State(typing.NamedTuple):
@@ -295,6 +305,20 @@ def init_counters(max_tau_scatt_init, dtype):
         max_tau_scatt=jnp.asarray(max_tau_scatt_init, dtype),
         n_created=zi(), n_sec_drop=zi(),
         n_retired=zi(), n_steps_retired=zi(),
+        ls_iters=zi(), ls_occupied=zi(), ls_moving=zi(), ls_committed=zi(),
+        ls_parked=zi(),
+    )
+
+
+def _util_counters(counters, occupied, moving, commit, parked):
+    """Accumulate the per-iteration lane-slot census (5 cheap reductions)."""
+    i64 = counters.ls_iters.dtype
+    return counters._replace(
+        ls_iters=counters.ls_iters + 1,
+        ls_occupied=counters.ls_occupied + jnp.sum(occupied).astype(i64),
+        ls_moving=counters.ls_moving + jnp.sum(moving).astype(i64),
+        ls_committed=counters.ls_committed + jnp.sum(commit).astype(i64),
+        ls_parked=counters.ls_parked + jnp.sum(parked).astype(i64),
     )
 
 
@@ -887,7 +911,10 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
             bi=B["bi"], interacting=B["interacting"], sec_w=B["sec_w"],
             n_step=B["n_step"],
         )
-        return state._replace(pool=p, key=key, it=state.it + 1)
+        counters = _util_counters(state.counters, p.occupied, A["moving"],
+                                  A["commit"], A["at_event"])
+        return state._replace(pool=p, counters=counters, key=key,
+                              it=state.it + 1)
 
     if cfg.pallas_hot:
         if not _shared_hot:
@@ -1078,7 +1105,10 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         over = moving & (n_step > cfg.stall_steps)
         p = p._replace(n_step=n_step, alive=p.alive & ~over)
 
-        return state._replace(pool=p, key=key, it=state.it + 1)
+        counters = _util_counters(state.counters, p.occupied, moving, commit,
+                                  p.at_event)
+        return state._replace(pool=p, counters=counters, key=key,
+                              it=state.it + 1)
 
     # ------------------------------------------------------------------
     # periodic phase: scatter events, record, refill, init
