@@ -71,7 +71,9 @@ def main():
         ev_k=int(os.environ.get("BENCH_EV_K", "16384")),
         fluid_cache=os.environ.get("BENCH_FLUID_CACHE", "0") == "1",
         grow_cap=float(os.environ.get("BENCH_GROW_CAP", "1.0")),
+        detached_events=os.environ.get("BENCH_DETACH", "0") == "1",
         pallas_hot=os.environ.get("BENCH_PALLAS", "0") == "1",
+        pallas_block=int(os.environ.get("BENCH_PALLAS_BLOCK", "2048")),
     )
     dump = find_dump()
     # Waves hand off with the pool still full: wave_tail_exit=pool means a

@@ -34,6 +34,18 @@ def build_parser():
     p.add_argument("--seed", type=int, default=123, help="RNG seed")
     p.add_argument("--devices", type=int, default=0,
                    help="shard the photon pool over this many devices (0 = single)")
+    p.add_argument("--grow_cap", type=float, default=1.0,
+                   help="adaptive step growth cap (1.0 = reference step "
+                   "semantics; >1 enables accuracy-gated step growth, see "
+                   "README deviations)")
+    p.add_argument("--detach", action="store_true",
+                   help="detached scatter events: parents continue "
+                   "immediately after an event instead of parking until "
+                   "the periodic phase (see README deviations)")
+    p.add_argument("--checkpoint", type=str, default="",
+                   help="write a disk resume point here after every wave "
+                   "and resume from it if it exists (single-device runs; "
+                   "a completed run deletes it)")
     p.add_argument("--profile_dir", type=str, default="",
                    help="write a jax.profiler trace of the transport run here "
                    "(view with tensorboard/xprof; the reference's analogue is "
@@ -56,8 +68,13 @@ def main(argv=None):
         n_pool=args.pool,
         m_period=args.period,
         dtype=jnp.float32 if args.dtype == "float32" else jnp.float64,
+        grow_cap=args.grow_cap,
+        detached_events=args.detach,
     )
     if args.devices > 1:
+        if args.checkpoint:
+            raise SystemExit("--checkpoint is not supported with --devices>1 "
+                             "(the sharded run loop has its own drain logic)")
         from grmonty_tpu.parallel import sharding
 
         sim = sharding.ShardedSimulation(
@@ -79,7 +96,10 @@ def main(argv=None):
     else:
         prof = contextlib.nullcontext()
     with prof:
-        spec, stats = sim.run()
+        if args.checkpoint and args.devices <= 1:
+            spec, stats = sim.run(checkpoint_path=args.checkpoint)
+        else:
+            spec, stats = sim.run()
     sim.report(args.spectrum_path)
     log.info("Done: %.0f photons/s", stats["photon_rate"])
     return 0

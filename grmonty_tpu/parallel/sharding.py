@@ -48,9 +48,11 @@ def _state_specs():
     vec4 = lambda: (P("ph"),) * 4  # 4-tuples of (N,) components
     pool = engine_mod.Pool(
         x=vec4(), k=vec4(), dkdlam=vec4(),
-        frow=(),  # fluid_cache is unsupported sharded (guarded in __init__)
+        # fluid_cache / detached_events are unsupported sharded (guarded in
+        # __init__), so their pool fields are empty pytrees / (0,) arrays.
+        frow=(), ev_x=(), ev_k=(),
         **{f: P("ph") for f in engine_mod.Pool._fields
-           if f not in ("x", "k", "dkdlam", "frow")},
+           if f not in ("x", "k", "dkdlam", "frow", "ev_x", "ev_k")},
     )
     sec = engine_mod.SecBuf(rows=P("ph", None), count=P("ph"))
     counters = engine_mod.Counters(*([P("ph")] * len(engine_mod.Counters._fields)))
@@ -100,6 +102,9 @@ class ShardedSimulation(driver_mod.Simulation):
         cfg = kwargs.get("config")
         if cfg is not None and getattr(cfg, "fluid_cache", False):
             raise ValueError("fluid_cache is not supported on the sharded path")
+        if cfg is not None and getattr(cfg, "detached_events", False):
+            raise ValueError(
+                "detached_events is not supported on the sharded path")
         self.n_devices = n_devices
         self.mesh = Mesh(np.array(devices[:n_devices]), ("ph",))
         # per-shard chunks drain fully (stragglers only block their own shard)

@@ -445,10 +445,25 @@ class CPUTracker:
         out["theta_e_0"] = ph["theta_e_0"]
         return out
 
-    def run(self, init_photons, limit=None):
-        """Track a batch of InitPhotons (host numpy) sequentially."""
+    def run(self, init_photons, limit=None, progress_every=60.0):
+        """Track a batch of InitPhotons (host numpy) sequentially.
+
+        Logs photon-index progress at most every ``progress_every``
+        seconds: oracle runs take hours (each photon is a recursive
+        scalar walk of up to max_n_step steps) and are otherwise silent.
+        """
+        import logging
+        import time
+
+        log = logging.getLogger("grmonty")
+        t0 = t_last = time.time()
         n = init_photons.w.shape[0] if limit is None else min(limit, init_photons.w.shape[0])
         for i in range(n):
+            now = time.time()
+            if progress_every and now - t_last >= progress_every:
+                t_last = now
+                log.info("oracle: photon %d/%d (%.0f s elapsed, "
+                         "%d recorded)", i, n, now - t0, self.n_recorded)
             ph = {
                 "x": np.asarray(init_photons.x[i], float).copy(),
                 "k": np.asarray(init_photons.k[i], float).copy(),

@@ -435,6 +435,59 @@ class Simulation:
         self.spec_acc = spec_acc.copy()
         return jax.device_put(state_host)
 
+    def save_checkpoint(self, path, waves_done, state):
+        """Write an atomic disk resume point after a completed wave.
+
+        The reference has no checkpointing (its runs are minutes,
+        ``SURVEY.md`` §5); here a production run is hours through a
+        fragile tunneled runtime, so the in-memory snapshot/rollback
+        gains a durable sibling: engine state pytree + host spectrum
+        accumulator + the driver RNG key (already advanced past every
+        consumed wave split, so resumed waves replay bit-identically).
+        """
+        state_h = jax.device_get(state)
+        leaves = jax.tree_util.tree_leaves(state_h)
+        payload = {f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)}
+        payload["spec_acc"] = self.spec_acc
+        payload["key"] = np.asarray(self.key)
+        payload["meta"] = np.asarray(
+            [waves_done, len(leaves), self.photon_n, self.cfg.n_pool,
+             self.emit_chunk], np.int64)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, **payload)
+        os.replace(tmp, path)
+        log.info("checkpoint: %d wave(s) done -> %s", waves_done, path)
+
+    def load_checkpoint(self, path, template_state):
+        """Restore (waves_done, device state) written by save_checkpoint.
+
+        ``template_state`` supplies the pytree structure (it depends on
+        EngineConfig: fluid_cache / detached_events change the Pool
+        fields); identity metadata guards against resuming a checkpoint
+        from a different run setup.
+        """
+        dat = np.load(path, allow_pickle=False)
+        waves_done, n_leaves, photon_n, n_pool, emit_chunk = (
+            int(x) for x in dat["meta"])
+        if (photon_n, n_pool, emit_chunk) != (
+                self.photon_n, self.cfg.n_pool, self.emit_chunk):
+            raise ValueError(
+                f"checkpoint {path} was written by a different run setup: "
+                f"photon_n/n_pool/emit_chunk {(photon_n, n_pool, emit_chunk)}"
+                f" != {(self.photon_n, self.cfg.n_pool, self.emit_chunk)}")
+        treedef = jax.tree_util.tree_structure(template_state)
+        if treedef.num_leaves != n_leaves:
+            raise ValueError(
+                f"checkpoint {path} state structure mismatch "
+                f"({n_leaves} leaves vs {treedef.num_leaves}) — "
+                "EngineConfig differs from the run that wrote it")
+        leaves = [dat[f"leaf_{i}"] for i in range(n_leaves)]
+        state = jax.device_put(jax.tree_util.tree_unflatten(treedef, leaves))
+        self.spec_acc = dat["spec_acc"].astype(np.float64)
+        self.key = jnp.asarray(dat["key"])
+        return waves_done, state
+
     def _run_wave(self, state, backlog_np, t0, c, n_chunks, total, start=0,
                   remake_backlog=None, tail_exit=None, n_valid=None):
         """Run one backlog wave in bounded slices with rate telemetry
@@ -570,6 +623,10 @@ class Simulation:
                     at_event=small.at_event & vm,
                     record_pending=small.record_pending & vm,
                 )
+                if self.cfg.detached_events:
+                    # padding lanes are copies of lane 0 — mask their
+                    # pending-event flag or its event would duplicate
+                    small = small._replace(ev_pending=small.ev_pending & vm)
                 tstate = engine_mod.State(
                     pool=small, spec=state.spec, counters=state.counters,
                     sec=state.sec, backlog_pos=jnp.zeros((), jnp.int32),
@@ -639,13 +696,24 @@ class Simulation:
             eng, run = self._tail_engine(n_t, exit_occ)
             jax.block_until_ready(run(eng["fresh_state"](k0), one_row))
 
-    def run(self):
-        """Emit + track everything; returns (spectrum_rows, stats)."""
+    def run(self, checkpoint_path=None, checkpoint_every=1):
+        """Emit + track everything; returns (spectrum_rows, stats).
+
+        With ``checkpoint_path``, a resume point is written to disk every
+        ``checkpoint_every`` completed waves (and deleted on success); if
+        the file already exists, the run resumes from it — completed
+        waves are skipped and the remainder replays bit-identically.
+        """
         t_init = time.time()
         plan = self.plan()
         self.key, k_eng = random.split(self.key)
         state = self.engine["fresh_state"](k_eng)
         self._warm_compile(plan)
+        resume_waves = 0
+        if checkpoint_path and os.path.exists(checkpoint_path):
+            resume_waves, state = self.load_checkpoint(checkpoint_path, state)
+            log.info("Resuming from %s: %d wave(s) already done",
+                     checkpoint_path, resume_waves)
         t0 = time.time()
         compile_s = t0 - t_init
 
@@ -685,8 +753,19 @@ class Simulation:
                 return min(drain_occ, self._wave_tail_exit)
             return self._wave_tail_exit
 
+        if resume_waves > len(waves):
+            raise ValueError(
+                f"checkpoint claims {resume_waves} waves done but this run "
+                f"has {len(waves)} — emit_chunk/photon_n mismatch")
+
+        def maybe_checkpoint(c, state):
+            if checkpoint_path and (c + 1) % checkpoint_every == 0:
+                self.save_checkpoint(checkpoint_path, c + 1, state)
+
         if emit_dev:
             for c, (start, limit) in enumerate(waves):
+                if c < resume_waves:
+                    continue  # key was saved already advanced past these
                 backlog, k_wave = self.emit_packed_dev(plan, start, limit)
                 state = state._replace(backlog_pos=jnp.zeros((), jnp.int32))
                 remake = (lambda k=k_wave, st=start, li=limit:
@@ -695,15 +774,25 @@ class Simulation:
                                        plan.total, start=start,
                                        remake_backlog=remake,
                                        tail_exit=wave_te(c), n_valid=limit)
+                maybe_checkpoint(c, state)
         else:
-            overlap = os.environ.get("GRMONTY_EMIT_OVERLAP", "1") == "1"
+            # Overlapped prefetch consumes the NEXT wave's key split before
+            # the current wave's checkpoint is written, so a resume would
+            # re-split it — serialize emission when checkpointing to keep
+            # the resume bit-identical (the device-emission path splits
+            # per-wave serially and needs no such carve-out).
+            overlap = (os.environ.get("GRMONTY_EMIT_OVERLAP", "1") == "1"
+                       and not checkpoint_path)
             pool = ThreadPoolExecutor(max_workers=1)
             submit = pool.submit if overlap else (
                 lambda f, *a: _ImmediateFuture(f, a))
             try:
-                fut = submit(self.emit_packed_host, plan, waves[0][0], chunk,
-                             waves[0][1])
+                w0 = min(resume_waves, len(waves) - 1)
+                fut = submit(self.emit_packed_host, plan, waves[w0][0], chunk,
+                             waves[w0][1])
                 for c, (start, limit) in enumerate(waves):
+                    if c < resume_waves:
+                        continue
                     backlog_np = fut.result()
                     if c + 1 < len(waves):
                         fut = submit(self.emit_packed_host, plan,
@@ -713,10 +802,13 @@ class Simulation:
                                            plan.total, start=start,
                                            tail_exit=wave_te(c),
                                            n_valid=limit)
+                    maybe_checkpoint(c, state)
             finally:
                 pool.shutdown(wait=False, cancel_futures=True)
 
         state = self._drain_tail(state)
+        if checkpoint_path and os.path.exists(checkpoint_path):
+            os.remove(checkpoint_path)  # run completed; resume point stale
         state = self._drain_spec(state)
         elapsed = time.time() - t0
         counters = jax.device_get(state.counters)

@@ -133,6 +133,19 @@ class EngineConfig(typing.NamedTuple):
     #   are clamped to the remaining re-push length so scatter events still
     #   land exactly.  Validate spectrum drift (validate_accuracy) before
     #   adopting a value.
+    detached_events: bool = False  # parent photons continue IMMEDIATELY
+    #   after a scatter event instead of parking at_event until the next
+    #   periodic phase (an average m_period/2-iteration stall per event).
+    #   The event's pre-sampling record (position, parent momentum,
+    #   secondary weight) is captured into per-lane shadow registers at
+    #   arrival — everything the deferred secondary sampler needs, since
+    #   the parent's fate (harm_model.cpp:1071-1081 k0 checks) and its
+    #   post-event opacity refresh (:1026-1039) depend only on parent
+    #   state, never on the sampled secondary.  A lane that scatters AGAIN
+    #   before its pending event is consumed parks as before (rare).
+    #   Physically identical semantics, different RNG trajectory.
+    #   Works with pallas_hot (capture runs in XLA on extra kernel
+    #   outputs); unsupported on the sharded path.
     fluid_cache: bool = False  # carry each lane's bilinear corner row in
     #   the pool and re-gather only lanes whose cell changed (a few % per
     #   step), compacted (see fluid.get_fluid_params_frow).  Physically
@@ -210,6 +223,12 @@ class Pool(typing.NamedTuple):
     #   (32, N) stack — so the compacted refresh is 32 in-place 1D lane
     #   scatters instead of a column scatter that defeats carry aliasing.
     cell: jnp.ndarray  # (N,) int32 cell id the cache was gathered for (-1 none)
+    ev_x: tuple  # 4 x (N,) event-point position (detached_events only; ())
+    ev_k: tuple  # 4 x (N,) parent momentum at the event point
+    ev_w: jnp.ndarray  # (N,) secondary weight captured at the event
+    ev_pending: jnp.ndarray  # (N,) bool: shadow registers hold an
+    #   unconsumed scatter event; the lane may keep moving but cannot be
+    #   freed/reused until the periodic phase consumes it
     n_scatt: jnp.ndarray  # int32
     n_step: jnp.ndarray  # int32
     ev_tries: jnp.ndarray  # int32: periodic phases this lane's scatter event
@@ -270,7 +289,7 @@ def where4(m, a, b):
     return tuple(jnp.where(m, ai, bi) for ai, bi in zip(a, b))
 
 
-def empty_pool(n, dtype, fluid_cache=False):
+def empty_pool(n, dtype, fluid_cache=False, detached_events=False):
     z = lambda: jnp.zeros((n,), dtype)
     zi = lambda: jnp.zeros((n,), jnp.int32)
     zb = lambda: jnp.zeros((n,), bool)
@@ -278,8 +297,10 @@ def empty_pool(n, dtype, fluid_cache=False):
     # The corner-row cache fields exist only when the fluid_cache path is
     # on: 32 x (N,) f32 is 8 MB at the bench pool size, and a dead carry of
     # that size still pays HBM<->VMEM traffic at every phase boundary of
-    # the hot while_loop.
+    # the hot while_loop.  Same for the detached-event shadow registers
+    # (10 x (N,)).
     nc = n if fluid_cache else 0
+    ne = n if detached_events else 0
     return Pool(
         x=z4(), k=z4(), dkdlam=z4(), w=z(), e=z(), l=z(), x1i=z(), x2i=z(),
         tau_abs=z(), tau_scatt=z(), n_e_0=z(), theta_e_0=z(), b_0=z(), e_0=z(),
@@ -287,6 +308,10 @@ def empty_pool(n, dtype, fluid_cache=False):
         dl_shrink=jnp.ones((n,), dtype), sec_w=z(),
         frow=(tuple(z() for _ in range(32)) if fluid_cache else ()),
         cell=jnp.full((nc,), -1, jnp.int32),
+        ev_x=(z4() if detached_events else ()),
+        ev_k=(z4() if detached_events else ()),
+        ev_w=jnp.zeros((ne,), dtype),
+        ev_pending=jnp.zeros((ne,), bool),
         n_scatt=zi(), n_step=zi(), ev_tries=zi(),
         occupied=zb(), alive=zb(), interacting=zb(), pend_push=zb(),
         at_event=zb(), record_pending=zb(),
@@ -383,6 +408,49 @@ def push_attempt_c(x, k, dkdlam, e_0_s, seg_dl, active, at_floor,
     dk = tuple(jnp.where(commit, dn, dd) for dn, dd in zip(dk_new, dkdlam))
     e0s = jnp.where(commit, e_1, e_0_s)
     return x, k, dk, e0s, commit
+
+
+def _capture_events(p, arrived, at_event, x, k, w, sec_w, alive,
+                    alpha_scatti, alpha_absi, bi, a_scf, a_abf, bf, nu):
+    """Detached-events capture at scatter arrival (pure, elementwise).
+
+    ``p`` supplies the pre-iteration shadow registers/occupancy; the rest
+    are this iteration's post-phase-b values.  A parent whose registers
+    are free captures its event and continues immediately; a parent
+    arriving with a still-pending first event parks (at_event) as in the
+    default path.  parent_die (harm_model.cpp:1071-1081 — k0-only checks)
+    is decidable here, so doomed parents die at once with the event
+    dropped, exactly as process_scatters would have ruled.  The surviving
+    parent's post-event opacity refresh (:1026-1039) uses the raw values
+    phase_b already evaluated at the arrival position.
+
+    Returns a dict of pool-field overrides.
+    """
+    k0, k1, _, k3 = k
+    pdie = arrived & (
+        (k0 > 1.0e5) | (k0 < 0.0) | jnp.isnan(k0)
+        | jnp.isnan(k1) | jnp.isnan(k3)
+    )
+    cap = arrived & ~p.ev_pending & ~pdie
+    neg = nu < 0.0
+    return dict(
+        ev_x=where4(cap, x, p.ev_x),
+        ev_k=where4(cap, k, p.ev_k),
+        ev_w=jnp.where(cap, sec_w, p.ev_w),
+        ev_pending=p.ev_pending | cap,
+        at_event=at_event & ~cap & ~pdie,
+        alive=alive & ~pdie,
+        # a doomed parent still holding an unconsumed FIRST event keeps its
+        # lane (the event's birth-constant fields live there) until the
+        # periodic phase consumes it; the free line there releases it
+        occupied=p.occupied & ~(pdie & ~p.ev_pending),
+        w=jnp.where(pdie, jnp.zeros((), w.dtype), w),
+        alpha_scatti=jnp.where(
+            cap, jnp.where(neg, jnp.zeros((), w.dtype), a_scf), alpha_scatti),
+        alpha_absi=jnp.where(
+            cap, jnp.where(neg, jnp.zeros((), w.dtype), a_abf), alpha_absi),
+        bi=jnp.where(cap, bf, bi),
+    )
 
 
 def hot_phase_a(x, k, dkdlam, e_0_s, dl_shrink, pend_dl, pend_push, at_event,
@@ -580,6 +648,12 @@ def hot_phase_b(rows, x, k, dkdlam, e_0_s, w, alpha_scatti, alpha_absi, bi,
         ) | (~inter & interacting),
         alive=alive & ~absorbed & ~over,
         n_step=n_step_n,
+        # Raw per-lane refresh values at the NEW position, for the
+        # detached-events capture (the parent's post-event opacity refresh,
+        # harm_model.cpp:1026-1039, evaluated here where the corner rows
+        # for the arrival point are already in hand).  Dead outputs
+        # otherwise (DCE'd by both XLA and Mosaic).
+        a_scf=a_scf, a_abf=a_abf, bf=bf, nu=nu, n_e=n_e,
     )
 
 
@@ -911,14 +985,22 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
             bi=B["bi"], interacting=B["interacting"], sec_w=B["sec_w"],
             n_step=B["n_step"],
         )
+        if cfg.detached_events:
+            with _phase_ctx():
+                p = p._replace(**_capture_events(
+                    state.pool, A["arrived"], A["at_event"], B["x"], B["k"],
+                    B["w"], B["sec_w"], B["alive"],
+                    B["alpha_scatti"], B["alpha_absi"], B["bi"],
+                    B["a_scf"], B["a_abf"], B["bf"], B["nu"],
+                ))
         counters = _util_counters(state.counters, p.occupied, A["moving"],
-                                  A["commit"], A["at_event"])
+                                  A["commit"], p.at_event)
         return state._replace(pool=p, counters=counters, key=key,
                               it=state.it + 1)
 
     if cfg.pallas_hot:
         if not _shared_hot:
-            raise ValueError("pallas_hot supports only the default config "
+            raise ValueError("pallas_hot supports only the shared hot path "
                              "(no interp_geom/fluid_cache/dbg_skip)")
         from grmonty_tpu.transport import hotstep_pallas
 
@@ -1105,6 +1187,13 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         over = moving & (n_step > cfg.stall_steps)
         p = p._replace(n_step=n_step, alive=p.alive & ~over)
 
+        if cfg.detached_events:
+            p = p._replace(**_capture_events(
+                state.pool, arrived, p.at_event, p.x, p.k,
+                p.w, p.sec_w, p.alive,
+                p.alpha_scatti, p.alpha_absi, p.bi,
+                a_scf, a_abf, bf, nu,
+            ))
         counters = _util_counters(state.counters, p.occupied, moving, commit,
                                   p.at_event)
         return state._replace(pool=p, counters=counters, key=key,
@@ -1123,6 +1212,11 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         """
         bad = p.record_pending & (jnp.isnan(p.w) | jnp.isnan(p.e))
         rec = p.record_pending & ~bad
+        if cfg.detached_events:
+            # A lane with an unconsumed event cannot be freed (its birth
+            # constants feed the secondary row); it records next phase,
+            # after process_scatters consumes the registers.
+            rec = rec & ~p.ev_pending
         valid, gi, sidx = compact_idx(rec, EV_K)
 
         x2g, x3g = p.x[2][gi], p.x[3][gi]
@@ -1186,6 +1280,10 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
             occupied=p.occupied & ~processed,
             record_pending=p.record_pending & ~processed,
         )
+        if cfg.detached_events:
+            # NaN-poisoned lanes freed above drop any pending event with
+            # them (recorded lanes have ~ev_pending by construction).
+            p = p._replace(ev_pending=p.ev_pending & ~processed)
         return spec, counters, p
 
     # The periodic phase runs everything COMPACTED: each of its jobs
@@ -1236,11 +1334,27 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         and force-accepts the final draw after 4 (>= 64 total rounds,
         matching the old single-phase cap behavior).
         """
-        ev = p.at_event
+        if cfg.detached_events:
+            # Two event sources, one compaction: shadow-register events
+            # (parent long gone) and parked lanes (double-event fallback,
+            # processed from lane state once their register event cleared).
+            ev = p.ev_pending | p.at_event
+        else:
+            ev = p.at_event
         valid, gi, sidx = compact_idx(ev, EV_K)
 
-        xg = (p.x[0][gi], p.x[1][gi], p.x[2][gi], p.x[3][gi])
-        kg = (p.k[0][gi], p.k[1][gi], p.k[2][gi], p.k[3][gi])
+        if cfg.detached_events:
+            reg_g = p.ev_pending[gi] & valid
+            xg = tuple(jnp.where(reg_g, p.ev_x[c][gi], p.x[c][gi])
+                       for c in range(4))
+            kg = tuple(jnp.where(reg_g, p.ev_k[c][gi], p.k[c][gi])
+                       for c in range(4))
+            secw_g = jnp.where(reg_g, p.ev_w[gi], p.sec_w[gi])
+        else:
+            reg_g = jnp.zeros_like(valid)
+            xg = (p.x[0][gi], p.x[1][gi], p.x[2][gi], p.x[3][gi])
+            kg = (p.k[0][gi], p.k[1][gi], p.k[2][gi], p.k[3][gi])
+            secw_g = p.sec_w[gi]
         wg = p.w[gi]
         tries_g = p.ev_tries[gi]
         force_g = valid & (tries_g >= 4)
@@ -1255,20 +1369,24 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         # the rest defer (stay at_event) and retry next phase.
         defer_g = valid & ~(res.sampled | res.parent_die)
         valid = valid & ~defer_g
-        parent_die = valid & res.parent_die
+        # Register-source events have no waiting parent: the parent was
+        # cleared or killed at capture (_capture_events), so parent-side
+        # updates below apply only to lane-source (parked) events.
+        parent_die = valid & res.parent_die & ~reg_g
         make = valid & res.made & (fl.n_e > 0.0) & ~res.parent_die
 
         # Post-event opacity refresh for surviving parents (:1026-1039).
         theta, nu, a_scf, a_abf = eval_alphas(kg, fl)
         neg = nu < 0.0
-        surv = valid & ~parent_die
+        surv = valid & ~res.parent_die & ~reg_g
 
         def put_where(dst, mask, val):
             """dst[idx] = where(mask, val, dst[idx]) for the compact set."""
             cur = dst[gi]
             return dst.at[sidx].set(jnp.where(mask, val, cur), mode="drop")
 
-        processed = jnp.zeros_like(ev).at[sidx].set(valid, mode="drop")
+        lane_done = jnp.zeros_like(ev).at[sidx].set(valid & ~reg_g,
+                                                    mode="drop")
         p = p._replace(
             alpha_scatti=put_where(p.alpha_scatti, surv,
                                    jnp.where(neg, 0.0, a_scf)),
@@ -1278,11 +1396,15 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
             w=put_where(p.w, parent_die, jnp.zeros_like(wg)),
             alive=p.alive & ~jnp.zeros_like(ev).at[sidx].set(parent_die, mode="drop"),
             occupied=p.occupied & ~jnp.zeros_like(ev).at[sidx].set(parent_die, mode="drop"),
-            at_event=ev & ~processed,
+            at_event=p.at_event & ~lane_done,
             ev_tries=p.ev_tries.at[sidx].set(
                 jnp.where(defer_g, tries_g + 1,
                           jnp.where(valid, 0, tries_g)), mode="drop"),
         )
+        if cfg.detached_events:
+            reg_done = jnp.zeros_like(ev).at[sidx].set(valid & reg_g,
+                                                       mode="drop")
+            p = p._replace(ev_pending=p.ev_pending & ~reg_done)
 
         # Pack secondaries at sec.count + prefix ranks (one row scatter).
         sec_cap = sec.rows.shape[0]
@@ -1297,7 +1419,7 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
             [
                 xg[0], xg[1], xg[2], xg[3],
                 res.k_sec[0], res.k_sec[1], res.k_sec[2], res.k_sec[3],
-                p.sec_w[gi], res.e_sec, res.l_sec, p.n_e_0[gi],
+                secw_g, res.e_sec, res.l_sec, p.n_e_0[gi],
                 p.theta_e_0[gi], fl.b, p.e_0[gi],
                 (p.n_scatt[gi] + 1).astype(dt),
             ],
@@ -1480,13 +1602,19 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
             record_pending=p.record_pending & ~poison,
             at_event=p.at_event & ~poison,
         )
+        if cfg.detached_events:
+            p = p._replace(ev_pending=p.ev_pending & ~poison)
 
         if "scatter" not in dbg:
             p, sec, counters = process_scatters(k_sc, p, sec, counters)
         if "record" not in dbg:
             spec, counters, p = spectrum_add(spec, counters, p)
-        # Free dead-but-unrecorded lanes (horizon, roulette, absorbed).
-        p = p._replace(occupied=p.occupied & (p.alive | p.record_pending))
+        # Free dead-but-unrecorded lanes (horizon, roulette, absorbed) —
+        # except lanes still holding an unconsumed detached event.
+        keep = p.alive | p.record_pending
+        if cfg.detached_events:
+            keep = keep | p.ev_pending
+        p = p._replace(occupied=p.occupied & keep)
         # Step-economics accounting: per-photon step counts at retirement
         # (drives the steps/photon diagnostic in the benches).
         freed = occ0 & ~p.occupied
@@ -1562,7 +1690,8 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
 
     def fresh_state(key):
         return State(
-            pool=empty_pool(cfg.n_pool, dt, fluid_cache=cfg.fluid_cache),
+            pool=empty_pool(cfg.n_pool, dt, fluid_cache=cfg.fluid_cache,
+                            detached_events=cfg.detached_events),
             spec=jnp.zeros((N_BINS + 1, N_SPEC_CHAN), dt),
             counters=init_counters(mc.max_tau_scatt0, dt),
             sec=empty_secbuf(cfg.sec_cap, dt),

@@ -65,9 +65,16 @@ LANE = 128
 
 
 def make_pallas_hot_phases(mc, cfg, hc_coeffs, k2_coeffs, weight_min,
-                           shrink_floor, n_pool, dtype, interpret=False):
+                           shrink_floor, n_pool, dtype, interpret=False,
+                           detached=False):
     """Build (phase_a_call, phase_b_call): fused Mosaic kernels over a
-    lane-blocked grid.  All per-lane operands are (n_pool/128, 128)."""
+    lane-blocked grid.  All per-lane operands are (n_pool/128, 128).
+
+    With ``detached`` (EngineConfig.detached_events), phase A additionally
+    emits the ``arrived`` mask and phase B the raw refresh values
+    (a_scf/a_abf/bf/nu) that engine._capture_events consumes — the capture
+    itself stays in XLA after the kernels (elementwise, ~10 lane arrays).
+    Gated so the default config's kernel artifacts are unchanged."""
     blk = min(n_pool, int(cfg.pallas_block))
     assert n_pool % blk == 0 and blk % (8 * LANE) == 0, (n_pool, blk)
     grid = (n_pool // blk,)
@@ -120,16 +127,18 @@ def make_pallas_hot_phases(mc, cfg, hc_coeffs, k2_coeffs, weight_min,
             + [mf(A[m]) for m in
                ("commit", "moving", "was_pend", "stopped")]
             + [A["z"]]
+            + ([mf(A["arrived"])] if detached else [])
         )
         for ref, v in zip(outs, vals):
             ref[...] = v
 
-    a_out_shape = [sds(f)] * 25 + [sds(i32)]
+    a_out_shape = ([sds(f)] * 25 + [sds(i32)]
+                   + ([sds(f)] if detached else []))
     phase_a_call = pl.pallas_call(
         kernel_a,
         grid=grid,
         in_specs=[lane_spec] * 21,
-        out_specs=[lane_spec] * 26,
+        out_specs=[lane_spec] * len(a_out_shape),
         out_shape=a_out_shape,
         interpret=interpret,
     )
@@ -181,16 +190,19 @@ def make_pallas_hot_phases(mc, cfg, hc_coeffs, k2_coeffs, weight_min,
             + [mf(B[m]) for m in
                ("pend_push", "interacting", "alive")]
             + [B["n_step"]]
+            + ([B["a_scf"], B["a_abf"], B["bf"], B["nu"]]
+               if detached else [])
         )
         for ref, v in zip(outs, vals):
             ref[...] = v
 
-    b_out_shape = [sds(f)] * 24 + [sds(i32)]
+    b_out_shape = ([sds(f)] * 24 + [sds(i32)]
+                   + ([sds(f)] * 4 if detached else []))
     phase_b_call = pl.pallas_call(
         kernel_b,
         grid=grid,
         in_specs=([rows_spec, hc_spec] + [lane_spec] * 44 + [smem_spec]),
-        out_specs=[lane_spec] * 25,
+        out_specs=[lane_spec] * len(b_out_shape),
         out_shape=b_out_shape,
         interpret=interpret,
     )
@@ -204,10 +216,12 @@ def make_hot_step(mc, cfg, hc_coeffs, k2_coeffs, corner_rows, weight_min,
     import jax.random as random
 
     dt = cfg.dtype
+    detached = cfg.detached_events
     hc_dev = jnp.asarray(hc_coeffs, dt)
     phase_a_call, phase_b_call = make_pallas_hot_phases(
         mc, cfg, hc_dev, k2_coeffs, weight_min,
         shrink_floor, cfg.n_pool, dt, interpret=interpret,
+        detached=detached,
     )
 
     def hot_step(state):
@@ -233,7 +247,8 @@ def make_hot_step(mc, cfg, hc_coeffs, k2_coeffs, corner_rows, weight_min,
             )
         (xa0, xa1, xa2, xa3, ka0, ka1, ka2, ka3, dka0, dka1, dka2, dka3,
          e0sa, shra, pdla, wa, ppa, aea, ala, rpa,
-         seg, commit, moving, wasp, stopped, z) = a_out
+         seg, commit, moving, wasp, stopped, z) = a_out[:26]
+        arrived = a_out[26] if detached else None
 
         rows = corner_rows[z.reshape(n)].reshape(n // LANE, LANE, 32)
         bias_scale = jnp.reshape(
@@ -253,7 +268,7 @@ def make_hot_step(mc, cfg, hc_coeffs, k2_coeffs, corner_rows, weight_min,
             )
         (xb0, xb1, xb2, xb3, kb0, kb1, kb2, kb3, dkb0, dkb1, dkb2, dkb3,
          e0sb, wb, ascb, aabb, bib, tab, tsb, pdlb, swb,
-         ppb, interb, alb, nsb) = b_out
+         ppb, interb, alb, nsb) = b_out[:25]
 
         fl = lambda a: a.reshape(n)
         bl = lambda m: m.reshape(n) != 0
@@ -268,6 +283,22 @@ def make_hot_step(mc, cfg, hc_coeffs, k2_coeffs, corner_rows, weight_min,
             alpha_scatti=fl(ascb), alpha_absi=fl(aabb), bi=fl(bib),
             interacting=bl(interb), sec_w=fl(swb), n_step=fl(nsb),
         )
-        return state._replace(pool=p, key=key, it=state.it + 1)
+        if detached:
+            # Same capture the XLA hot_step_shared runs — elementwise in
+            # XLA on the kernel outputs (engine._capture_events draws no
+            # randomness, so the threefry stream stays kernel-identical).
+            a_scf, a_abf, bf, nu = (fl(b_out[25]), fl(b_out[26]),
+                                    fl(b_out[27]), fl(b_out[28]))
+            with jax.enable_x64(False):
+                p = p._replace(**engine_mod._capture_events(
+                    state.pool, bl(arrived), p.at_event, p.x, p.k,
+                    p.w, p.sec_w, p.alive,
+                    p.alpha_scatti, p.alpha_absi, p.bi,
+                    a_scf, a_abf, bf, nu,
+                ))
+        counters = engine_mod._util_counters(
+            state.counters, p.occupied, bl(moving), bl(commit), p.at_event)
+        return state._replace(pool=p, counters=counters, key=key,
+                              it=state.it + 1)
 
     return hot_step

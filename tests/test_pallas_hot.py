@@ -67,9 +67,13 @@ def test_pallas_hot_step_matches_xla(sims):
         state_x = hs_x(state_x)
         state_p = hs_p(state_p)
 
-    for f in state_x.pool._fields:
-        a = np.asarray(getattr(state_x.pool, f))
-        b = np.asarray(getattr(state_p.pool, f))
+    _assert_pools_match(state_x.pool, state_p.pool)
+
+
+def _assert_pools_match(pool_x, pool_p):
+    for f in pool_x._fields:
+        a = np.asarray(getattr(pool_x, f))
+        b = np.asarray(getattr(pool_p, f))
         if a.size == 0:
             continue
         if a.dtype == np.bool_ or a.dtype.kind == "i":
@@ -78,3 +82,36 @@ def test_pallas_hot_step_matches_xla(sims):
         else:
             np.testing.assert_allclose(
                 a, b, rtol=1e-4, atol=1e-6, err_msg=f"pool.{f}")
+
+
+@pytest.mark.slow
+def test_pallas_hot_step_matches_xla_detached(sims):
+    """Same parity with detached_events: the capture runs in XLA on extra
+    kernel outputs (arrived, a_scf/a_abf/bf/nu), drawing no randomness, so
+    the shadow registers and continuation masks must track the XLA path."""
+    sim_x, sim_p = sims
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".cache")
+    dump = os.path.join(cache, "torus_64x32_dump")
+    mk = lambda **kw: driver.Simulation(
+        dump, photon_n=2000, mass_unit=4e19, emit_chunk=4096,
+        config=engine.EngineConfig(
+            n_pool=2048, m_period=8, sec_cap=4096, stall_steps=20000,
+            dtype=jnp.float32, pallas_block=1024, detached_events=True,
+            **kw),
+    )
+    sim_dx, sim_dp = mk(), mk(pallas_hot=True)
+    plan = sim_dx.plan()
+    backlog = sim_dx.emit_packed(plan, 0, 4096)
+
+    state_x = sim_dx.engine["fresh_state"](random.PRNGKey(3))
+    state_p = sim_dp.engine["fresh_state"](random.PRNGKey(3))
+    state_x = jax.jit(sim_dx.engine["periodic_phase"])(state_x, backlog)
+    state_p = jax.jit(sim_dp.engine["periodic_phase"])(state_p, backlog)
+    hs_x = jax.jit(sim_dx.engine["hot_step"])
+    hs_p = jax.jit(sim_dp.engine["hot_step"])
+    for _ in range(6):
+        state_x = hs_x(state_x)
+        state_p = hs_p(state_p)
+
+    _assert_pools_match(state_x.pool, state_p.pool)

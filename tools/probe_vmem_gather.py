@@ -29,8 +29,8 @@ def main():
     from jax import lax, random
 
     n = int(os.environ.get("PROBE_N", "65536"))
-    z = 65536
-    w = 32
+    z = int(os.environ.get("PROBE_Z", "65536"))
+    w = int(os.environ.get("PROBE_W", "32"))
     dt = jnp.float32
     key = random.PRNGKey(0)
     table = random.normal(key, (z, w), dt)
@@ -131,22 +131,24 @@ def main():
     except Exception as e:  # noqa: BLE001
         results["pallas_take_err"] = f"{type(e).__name__}: {e}"[:300]
 
+    # take_along_axis form: rank-matched indices (the jnp.take form above
+    # fails Mosaic's gather lowering with a rank mismatch).
     try:
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
         BLK = int(os.environ.get("PROBE_BLK", "8192"))
 
-        def ds_kernel(idx_ref, table_ref, out_ref):
-            def body(i, _):
-                out_ref[i] = jnp.sum(table_ref[idx_ref[i], :])
-                return 0
-            lax.fori_loop(0, BLK, body, 0)
+        def taa_kernel(idx_ref, table_ref, out_ref):
+            idx2 = jax.lax.broadcast_in_dim(
+                idx_ref[:], (BLK, w), (0,))
+            rows = jnp.take_along_axis(table_ref[:], idx2, axis=0)
+            out_ref[:] = jnp.sum(rows, axis=1)
 
         @jax.jit
-        def pallas_ds(idx):
+        def pallas_taa(idx):
             return pl.pallas_call(
-                ds_kernel,
+                taa_kernel,
                 out_shape=jax.ShapeDtypeStruct((n,), dt),
                 grid=(n // BLK,),
                 in_specs=[
@@ -159,9 +161,49 @@ def main():
                 ),
             )(idx, table)
 
-        def ds_body(acc):
-            s = pallas_ds(vary_idx(acc))
+        def taa_body(acc):
+            s = pallas_taa(vary_idx(acc))
             return acc + s * 1e-20
+
+        emit("pallas_taa_ms", round(timed(taa_body), 4))
+    except Exception as e:  # noqa: BLE001
+        results["pallas_taa_err"] = f"{type(e).__name__}: {e}"[:300]
+
+    try:
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        BLK = int(os.environ.get("PROBE_BLK", "8192"))
+
+        def ds_kernel(idx_ref, table_ref, out_ref):
+            # Row-vector loop: dynamic (1, w) sublane loads + static stores
+            # (a scalar store to VMEM is unsupported; row stores are fine).
+            def body(i, _):
+                r = pl.load(table_ref, (pl.ds(idx_ref[i], 1), slice(None)))
+                pl.store(out_ref, (pl.ds(i, 1), slice(None)), r)
+                return 0
+            lax.fori_loop(0, BLK, body, 0, unroll=8)
+
+        @jax.jit
+        def pallas_ds(idx):
+            return pl.pallas_call(
+                ds_kernel,
+                out_shape=jax.ShapeDtypeStruct((n, w), dt),
+                grid=(n // BLK,),
+                in_specs=[
+                    pl.BlockSpec((BLK,), lambda i: (i,), memory_space=pltpu.SMEM),
+                    pl.BlockSpec((z, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((BLK, w), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=z * w * 4 + 2 * BLK * w * 4 + (1 << 20),
+                ),
+            )(idx, table)
+
+        def ds_body(acc):
+            rows = pallas_ds(vary_idx(acc))
+            return acc + jnp.sum(rows, axis=1) * 1e-20
 
         emit("pallas_ds_ms", round(timed(ds_body), 4))
     except Exception as e:  # noqa: BLE001

@@ -49,6 +49,9 @@ def main():
     ap.add_argument("--grow-cap", type=float, default=1.0,
                     help="engine grow_cap to validate against the oracle "
                     "(the oracle always integrates at reference semantics)")
+    ap.add_argument("--detached", action="store_true",
+                    help="engine detached_events to validate against the "
+                    "oracle (parking-free parent continuation)")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -74,6 +77,7 @@ def main():
     cfg = engine.EngineConfig(
         n_pool=1024, m_period=8, sec_cap=16384, max_outer=200000,
         stall_steps=100000, grow_cap=args.grow_cap,
+        detached_events=args.detached,
     )
     sim = driver.Simulation(dump, photon_n=args.photon_n,
                             mass_unit=args.mass_unit, config=cfg,
@@ -178,6 +182,7 @@ def main():
         "chi2_per_dof": chi2 / max(dof, 1),
         "mass_unit": args.mass_unit,
         "grow_cap": args.grow_cap,
+        "detached": bool(args.detached),
     }
     print(json.dumps(out, indent=2))
     if args.json:
