@@ -52,6 +52,11 @@ def main():
     ap.add_argument("--detached", action="store_true",
                     help="engine detached_events to validate against the "
                     "oracle (parking-free parent continuation)")
+    ap.add_argument("--oracle", choices=("python", "native"), default="native",
+                    help="oracle backend: 'native' (C++ mirror, seconds; "
+                    "parity-tested in tests/test_oracle_native.py) or "
+                    "'python' (the original transcription, ~hours at 2000 "
+                    "photons)")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -131,8 +136,14 @@ def main():
     else:
         backlog = jax.device_get(batch)
         backlog = backlog._replace(w=np.asarray(backlog.w) / sim.cfg.weight_scale)
-        tr = cpu_reference.CPUTracker(sim.mc, sim.tables, sim.prims,
-                                      seed=args.seed + 1)
+        if args.oracle == "native":
+            from grmonty_tpu.transport.oracle_native import NativeTracker
+
+            tr = NativeTracker(sim.mc, sim.tables, np.asarray(sim.prims),
+                               seed=args.seed + 1)
+        else:
+            tr = cpu_reference.CPUTracker(sim.mc, sim.tables, sim.prims,
+                                          seed=args.seed + 1)
         t0 = time.time()
         tr.run(backlog, limit=n_orc)
         t_orc = time.time() - t0
@@ -183,6 +194,7 @@ def main():
         "mass_unit": args.mass_unit,
         "grow_cap": args.grow_cap,
         "detached": bool(args.detached),
+        "oracle": args.oracle,
     }
     print(json.dumps(out, indent=2))
     if args.json:
