@@ -34,6 +34,11 @@ def build_parser():
     p.add_argument("--seed", type=int, default=123, help="RNG seed")
     p.add_argument("--devices", type=int, default=0,
                    help="shard the photon pool over this many devices (0 = single)")
+    p.add_argument("--backend", choices=("accel", "cpu"), default="accel",
+                   help="transport backend: 'accel' = batched engine on the "
+                   "accelerator (default); 'cpu' = native C++ scalar tracker "
+                   "(the reference CPU build's equivalent, harm_model.cpp:"
+                   "362-404; forces the JAX CPU platform for emission)")
     p.add_argument("--grow_cap", type=float, default=1.0,
                    help="adaptive step growth cap (1.0 = reference step "
                    "semantics; >1 enables accuracy-gated step growth, see "
@@ -60,6 +65,13 @@ def main(argv=None):
 
     log = setup(args.verbosity)
 
+    if args.backend == "cpu":
+        # must precede first backend use; the env var alone is not honored
+        # once an accelerator plugin is installed
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from grmonty_tpu.transport import driver, engine
@@ -72,6 +84,9 @@ def main(argv=None):
         detached_events=args.detach,
     )
     if args.devices > 1:
+        if args.backend == "cpu":
+            raise SystemExit("--backend cpu is single-process (the scalar "
+                             "tracker has no sharded mode); drop --devices")
         if args.checkpoint:
             raise SystemExit("--checkpoint is not supported with --devices>1 "
                              "(the sharded run loop has its own drain logic)")
@@ -96,7 +111,13 @@ def main(argv=None):
     else:
         prof = contextlib.nullcontext()
     with prof:
-        if args.checkpoint and args.devices <= 1:
+        if args.backend == "cpu":
+            if args.checkpoint:
+                raise SystemExit("--checkpoint applies to the accelerator "
+                                 "engine only (cpu backend runs are "
+                                 "restartable by rerunning)")
+            spec, stats = sim.run_native_cpu()
+        elif args.checkpoint and args.devices <= 1:
             spec, stats = sim.run(checkpoint_path=args.checkpoint)
         else:
             spec, stats = sim.run()

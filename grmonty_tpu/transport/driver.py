@@ -160,6 +160,7 @@ class Simulation:
         )
         self._host = host
 
+        self.seed = seed
         self.key = random.PRNGKey(seed)
         # Main engine exits each wave once the backlog is drained and only a
         # small tail of stragglers remains (they roll into the next wave);
@@ -695,6 +696,49 @@ class Simulation:
             exit_occ = sizes[si + 1] if si + 1 < len(sizes) else 0
             eng, run = self._tail_engine(n_t, exit_occ)
             jax.block_until_ready(run(eng["fresh_state"](k0), one_row))
+
+    def run_native_cpu(self, progress_every=5000):
+        """Emit + track everything on the native C++ CPU backend.
+
+        The structural counterpart of the reference's CPU build
+        (``harm_model.cpp:362-404``): the vectorized sampler emits on the
+        JAX CPU device, the scalar C++ tracker (native/oracle.cpp —
+        parity-tested against the Python transcription) tracks
+        sequentially with bias-feedback state carried across chunks.
+        Returns (spec, stats) shaped like :meth:`run`.
+        """
+        from grmonty_tpu.transport.oracle_native import NativeTracker
+
+        t0 = time.time()
+        plan = self.plan()
+        tracker = NativeTracker(self.mc, self.tables, np.asarray(self.prims),
+                                seed=self.seed + 1)
+        done = 0
+        while done < plan.total:
+            n = int(min(self.emit_chunk, plan.total - done))
+            batch = jax.device_get(self.emit(plan, done, n))
+            batch = batch._replace(
+                w=np.asarray(batch.w, np.float64) / self.cfg.weight_scale)
+            tracker.run(batch, progress_every=progress_every)
+            done += n
+            log.info("cpu backend: %d/%d emitted, %d recorded | %.0f ph/s",
+                     done, plan.total, tracker.n_recorded,
+                     done / max(time.time() - t0, 1e-9))
+        elapsed = time.time() - t0
+        stats = {
+            "n_created": int(plan.total),
+            "n_recorded": int(tracker.n_recorded),
+            "n_scatt_recorded": int(tracker.n_scatt_rec),
+            "max_tau_scatt": float(tracker.max_tau_scatt),
+            "elapsed_s": elapsed,
+            "compile_s": 0.0,
+            "photon_rate": plan.total / max(elapsed, 1e-9),
+        }
+        log.info("Final rate %.2f ph/s", stats["photon_rate"])
+        log.info("Super photons: created %d, recorded %d",
+                 stats["n_created"], stats["n_recorded"])
+        self.spec = tracker.spec
+        return tracker.spec, stats
 
     def run(self, checkpoint_path=None, checkpoint_every=1):
         """Emit + track everything; returns (spectrum_rows, stats).

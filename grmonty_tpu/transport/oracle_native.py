@@ -175,6 +175,10 @@ class NativeTracker:
         self.n_recorded = 0
         self.n_scatt_rec = 0
         self.max_tau_scatt = float(mc.max_tau_scatt0)
+        # IN/OUT counter block: carries the bias-feedback state across
+        # chunked run() calls (mirrors CPUTracker's persistent attributes)
+        self._out = _Out(float(mc.max_tau_scatt0), 0, 0)
+        self._calls = 0
 
     def run(self, init_photons, limit=None, progress_every=1000):
         """Track an InitPhotons batch (host numpy); accumulates into .spec."""
@@ -187,19 +191,21 @@ class NativeTracker:
                  for f in ("w", "e", "l", "n_e_0", "theta_e_0", "b_0", "e_0")]
         n_scatt = np.ascontiguousarray(
             np.asarray(init_photons.n_scatt)[:n], dtype=np.int32)
-        out = _Out()
+        # distinct stream per chunked call; state carries via self._out
+        seed = self.seed + 0x9E37_79B9 * self._calls
+        self._calls += 1
         rc = self._lib.oracle_run(
             ctypes.byref(self._c), _ptr(self._hc), _ptr(self._k2),
             _ptr(self._prims), _ptr(x), _ptr(k), *[_ptr(a) for a in args1],
             n_scatt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            n, self.seed, _ptr(self.spec), ctypes.byref(out),
+            n, seed, _ptr(self.spec), ctypes.byref(self._out),
             int(progress_every),
         )
         if rc != 0:
             raise RuntimeError(f"oracle_run failed rc={rc}")
-        self.n_recorded = int(out.n_recorded)
-        self.n_scatt_rec = int(out.n_scatt_rec)
-        self.max_tau_scatt = float(out.max_tau_scatt)
+        self.n_recorded = int(self._out.n_recorded)
+        self.n_scatt_rec = int(self._out.n_scatt_rec)
+        self.max_tau_scatt = float(self._out.max_tau_scatt)
         return self.spec
 
     # ---- test hooks -----------------------------------------------------

@@ -975,6 +975,10 @@ struct OracleOut {
 };
 
 // Track n photons; accumulates into spec (6*200*13 doubles, caller-zeroed).
+// `out` is IN/OUT: its counters seed the tracker's bias-feedback state, so
+// chunked calls behave exactly like one long sequential run (the Python
+// CPUTracker keeps this state across run() calls too).  Pass
+// max_tau_scatt = consts.max_tau_scatt0 and zero counters on the first call.
 int oracle_run(const Consts* C, const double* hc_table, const double* k2_table,
                const double* prims, const double* x, const double* k,
                const double* w, const double* e, const double* l,
@@ -983,6 +987,9 @@ int oracle_run(const Consts* C, const double* hc_table, const double* k2_table,
                uint64_t seed, double* spec, OracleOut* out,
                int64_t progress_every) {
   Tracker tr(*C, hc_table, k2_table, prims, seed, spec);
+  if (out->max_tau_scatt > 0.0) tr.max_tau_scatt = out->max_tau_scatt;
+  tr.n_recorded = out->n_recorded;
+  tr.n_scatt_rec = out->n_scatt_rec;
   std::time_t t0 = std::time(nullptr);
   for (int64_t i = 0; i < n; ++i) {
     if (progress_every > 0 && i > 0 && i % progress_every == 0)

@@ -57,6 +57,9 @@ def main():
                     "parity-tested in tests/test_oracle_native.py) or "
                     "'python' (the original transcription, ~hours at 2000 "
                     "photons)")
+    ap.add_argument("--save-spec", default=None,
+                    help="also dump both raw spectra (engine + oracle, "
+                    "(6,200,13) each) to this .npz for band-level diagnosis")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -200,6 +203,9 @@ def main():
     if args.json:
         with open(args.json, "w") as f:
             json.dump(out, f, indent=2)
+    if args.save_spec:
+        np.savez(args.save_spec, spec_engine=se, spec_oracle=so,
+                 n_engine=n_eng, n_oracle=n_orc)
 
 
 if __name__ == "__main__":
