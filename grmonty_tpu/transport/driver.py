@@ -566,9 +566,17 @@ class Simulation:
     def _tail_engine(self, n_pool, exit_occ):
         key = (n_pool, exit_occ)
         if key not in self._tail_engines:
+            # The tail-cascade pools shrink below the Mosaic lane-block
+            # minimum (blk % 1024 == 0, hotstep_pallas.py); those stages
+            # fall back to the XLA hot path — they are occupancy-bound,
+            # not kernel-bound, so the fused kernels buy nothing there.
+            use_pallas = (self.cfg.pallas_hot
+                          and n_pool % 1024 == 0
+                          and n_pool % min(n_pool, self.cfg.pallas_block) == 0)
             cfg = self.cfg._replace(
                 n_pool=n_pool, tail_exit=exit_occ, m_period=64,
                 max_outer=min(self.cfg.max_outer, 64 * self._slice_iters),
+                pallas_hot=use_pallas,
             )
             eng = engine_mod.make_engine(self.mc, self.tables, self.prims, cfg,
                                          geom_rows=self.geom)

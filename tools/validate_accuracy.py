@@ -109,18 +109,35 @@ def main():
     run = jax.jit(eng["run"])
     state = eng["fresh_state"](jrandom.PRNGKey(args.seed + 2))
     t0 = time.time()
+
     # Drain to low occupancy at full width, then hand the straggler
     # orbiters (up to the 1e5-step cap each) to the driver's shrinking
     # tail cascade — a full-width pool paying 1e5 iterations for a few
     # lanes dominates the wall clock otherwise.
-    tail = jnp.asarray(min(256, sim.cfg.n_pool), jnp.int32)
-    while True:
-        state = run(state._replace(it=jnp.zeros((), jnp.int32)), rows_dev,
-                    tail)
-        if (int(state.backlog_pos) >= rows.shape[0]
-                and int(state.sec.count) == 0
-                and int(jnp.sum(state.pool.occupied)) <= int(tail)):
-            break
+    def drive(state, n_valid, tail_exit):
+        te = jnp.asarray(tail_exit, jnp.int32)
+        nv = jnp.asarray(n_valid, jnp.int32)
+        while True:
+            state = run(state._replace(it=jnp.zeros((), jnp.int32)),
+                        rows_dev, te, nv)
+            if (int(state.backlog_pos) >= int(n_valid)
+                    and int(state.sec.count) == 0
+                    and int(jnp.sum(state.pool.occupied)) <= int(tail_exit)):
+                break
+        return state
+
+    # Pilot warmup, exactly like driver.run(): the scattering-bias
+    # feedback counters (max_tau_scatt, avg n_scatt) start cold, and a
+    # batch engine that launches the WHOLE sample cold runs every photon
+    # at the huge initial bias — measured rec_ratio ~2.0 vs the
+    # sequential oracle, whose counters warm within its first few dozen
+    # photons.  Draining a small pilot sub-wave first equilibrates the
+    # counters the same way the production driver (and, implicitly, the
+    # sequential reference) does.
+    warm = min(256, n_orc)
+    if warm < n_orc:
+        state = drive(state, warm, max(1, sim.cfg.n_pool // 16))
+    state = drive(state, rows.shape[0], min(256, sim.cfg.n_pool))
     state = sim._drain_tail(state)
     t_eng = time.time() - t0
     n_eng = n_orc
@@ -180,6 +197,16 @@ def main():
     chi2 = float((((e_e - e_o) ** 2)[use] / var[use]).sum())
     dof = int(use.sum())
 
+    # Bias-feedback equilibria per side (the counters the scattering bias
+    # is built from): a systematic rec_ratio offset usually traces here.
+    avg_scatt_e = float(se[:, :, 3].sum() / max(n_rec_e, 1))
+    avg_scatt_o = float(so[:, :, 3].sum() / max(n_rec_o, 1))
+    groups = [
+        {"g": int(i), "lum_ratio": float(e_e[i] / e_o[i]) if e_o[i] else None,
+         "nph_engine": int(n_e[i]), "nph_oracle": int(n_o[i])}
+        for i in range(ne_g) if (n_e[i] or n_o[i])
+    ]
+
     out = {
         "n_engine": int(n_eng),
         "n_oracle": int(n_orc),
@@ -194,6 +221,10 @@ def main():
         "chi2": chi2,
         "dof": dof,
         "chi2_per_dof": chi2 / max(dof, 1),
+        "avg_scatt_engine": avg_scatt_e,
+        "avg_scatt_oracle": avg_scatt_o,
+        "max_tau_scatt_engine": float(state.counters.max_tau_scatt),
+        "groups": groups,
         "mass_unit": args.mass_unit,
         "grow_cap": args.grow_cap,
         "detached": bool(args.detached),
