@@ -69,6 +69,7 @@ def main():
         # per period in the Compton-storm segment (occupancy ~43%);
         # 16384 lifts occupancy to ~80% and 2.3x's the photon rate.
         ev_k=int(os.environ.get("BENCH_EV_K", "16384")),
+        refill_k=int(os.environ.get("BENCH_REFILL_K", "0")),
         fluid_cache=os.environ.get("BENCH_FLUID_CACHE", "0") == "1",
         grow_cap=float(os.environ.get("BENCH_GROW_CAP", "1.0")),
         detached_events=os.environ.get("BENCH_DETACH", "0") == "1",
@@ -90,6 +91,10 @@ def main():
         # granularity stays bounded by the per-slice snapshot cadence.
         slice_iters=int(os.environ.get("BENCH_SLICE", "2048")),
         wave_tail_exit=pool,
+        tail_grow_cap=(float(os.environ["BENCH_TAIL_GROW"])
+                       if os.environ.get("BENCH_TAIL_GROW") else None),
+        tail_stall_steps=(int(os.environ["BENCH_TAIL_STALL"])
+                          if os.environ.get("BENCH_TAIL_STALL") else None),
     )
     spec, stats = sim.run()
     sim.report(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "bench_spectrum"))

@@ -15,8 +15,9 @@ import numpy as np
 from grmonty_tpu import consts
 from grmonty_tpu.ops import geometry
 
-# accumulator channel indices
-DN_DLE, DE_DLE, NPH, NSCATT, X1I_AV, X2I_SQ, X3F_SQ, TAU_ABS, TAU_SCATT, NE_0, THETA_E_0, B_0, E_0 = range(13)
+# accumulator channel indices (channel 13, DE2 = sum((w*e)^2), is the MC
+# variance accumulator for DE_DLE — not in the reference's 13-field struct)
+DN_DLE, DE_DLE, NPH, NSCATT, X1I_AV, X2I_SQ, X3F_SQ, TAU_ABS, TAU_SCATT, NE_0, THETA_E_0, B_0, E_0, DE2 = range(14)
 
 
 def spectrum_rows(spec, mc):
@@ -26,7 +27,7 @@ def spectrum_rows(spec, mc):
     (luminosity, max mean scattering depth).
     """
     s = np.asarray(spec)[: consts.N_TH_BINS * consts.N_E_BINS]
-    s = s.reshape(consts.N_TH_BINS, consts.N_E_BINS, 13)
+    s = s.reshape(consts.N_TH_BINS, consts.N_E_BINS, -1)
 
     dx2 = (mc.x_stop[2] - mc.x_start[2]) / (2.0 * consts.N_TH_BINS)
     j = np.arange(consts.N_TH_BINS)

@@ -340,6 +340,7 @@ class CPUTracker:
         row[10] += w * ph["theta_e_0"]
         row[11] += w * ph["b_0"]
         row[12] += w * ph["e_0"]
+        row[13] += (w * ph["e"]) ** 2  # MC variance of the energy channel
 
     def track(self, ph, depth=0):
         """track_super_photon (harm_model.cpp:894-1069)."""

@@ -37,6 +37,7 @@ log = logging.getLogger("grmonty")
 
 # Spectrum accumulator channels carrying photon weight (all but nph, nscatt).
 _W_CHANNELS = [0, 1, 4, 5, 6, 7, 8, 9, 10, 11, 12]
+_W2_CHANNELS = [13]  # sum((w*e)^2) — quadratic in the weight scale
 
 
 class _ImmediateFuture:
@@ -56,6 +57,7 @@ def unscale_spectrum(spec: np.ndarray, weight_scale: float) -> np.ndarray:
         return spec
     spec = spec.copy()
     spec[:, _W_CHANNELS] /= weight_scale
+    spec[:, _W2_CHANNELS] /= weight_scale * weight_scale
     return spec
 
 
@@ -76,12 +78,24 @@ class Simulation:
         warmup: int = 1024,
         snapshot_every: int = 4,  # slices between host-side state snapshots
         max_retries: int = 3,  # device-fault retries per wave
+        tail_grow_cap: float | None = None,  # grow_cap override for the
+        # tail-drain cascade engines only.  The drain is dominated by a
+        # handful of step-cap-bound photon-sphere orbiters (~1e-5 of all
+        # photons) whose per-iteration cost is dispatch-overhead-bound at
+        # tiny pool widths; letting THEIR error-gated step grow harder
+        # divides the drain wall time while the same two per-step error
+        # tests bound the integration error.  None = inherit cfg.grow_cap
+        # (no deviation).
+        tail_stall_steps: int | None = None,  # stall_steps override for the
+        # tail cascade; None = inherit.
     ):
         self.photon_n = photon_n
         self.emit_chunk = emit_chunk
         self.warmup = warmup
         self.snapshot_every = snapshot_every
         self.max_retries = max_retries
+        self.tail_grow_cap = tail_grow_cap
+        self.tail_stall_steps = tail_stall_steps
         self.cfg = config or engine_mod.EngineConfig()
         dt = self.cfg.dtype
 
@@ -254,12 +268,31 @@ class Simulation:
         self._plan_dev = None
 
     def _recover(self):
-        """Tear down the faulted PJRT client and rebuild everything."""
+        """Tear down the faulted PJRT client and rebuild everything.
+
+        A worker-process crash (tunneled runtime) can take a minute to
+        restart; a single rebuild attempt right after the fault just hits
+        UNAVAILABLE again and aborts the whole run (BENCH_r01 lost 4.7 h
+        this way).  Probe with a trivial transfer and back off until the
+        device answers."""
         from jax._src import xla_bridge
 
-        jax.clear_caches()
-        xla_bridge._clear_backends()
-        self._build_device()  # also resets _dev_sampler/_plan_dev
+        last = None
+        for attempt, delay in enumerate((0, 10, 20, 40, 80, 160)):
+            if delay:
+                time.sleep(delay)
+            try:
+                jax.clear_caches()
+                xla_bridge._clear_backends()
+                jax.block_until_ready(
+                    jax.device_put(np.zeros(8, np.float32)))
+                self._build_device()  # also resets _dev_sampler/_plan_dev
+                return
+            except Exception as err:  # noqa: BLE001 — runtime may raise
+                # RuntimeError or JaxRuntimeError depending on the layer
+                last = err
+                log.warning("recover attempt %d failed: %s", attempt + 1, err)
+        raise last
 
     # ------------------------------------------------------------------
     def plan(self) -> emission.EmissionPlan:
@@ -577,6 +610,11 @@ class Simulation:
                 n_pool=n_pool, tail_exit=exit_occ, m_period=64,
                 max_outer=min(self.cfg.max_outer, 64 * self._slice_iters),
                 pallas_hot=use_pallas,
+                grow_cap=(self.tail_grow_cap if self.tail_grow_cap is not None
+                          else self.cfg.grow_cap),
+                stall_steps=(self.tail_stall_steps
+                             if self.tail_stall_steps is not None
+                             else self.cfg.stall_steps),
             )
             eng = engine_mod.make_engine(self.mc, self.tables, self.prims, cfg,
                                          geom_rows=self.geom)

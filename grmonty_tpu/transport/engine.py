@@ -57,7 +57,11 @@ from grmonty_tpu.ops import cheb, emission, fluid, gather, geometry, radiation, 
 
 PI = math.pi
 
-N_SPEC_CHAN = 13  # Spectrum struct channels (harm_data.hpp:129-143)
+N_SPEC_CHAN = 14  # Spectrum struct channels (harm_data.hpp:129-143) + one
+#   extra: channel 13 accumulates sum((w*e)^2), the per-bin MC variance of
+#   the energy channel (not in the reference; powers the accuracy harness'
+#   chi^2 error bars).  It is quadratic in the weight scale — see
+#   driver.unscale_spectrum.
 # channel order: dn_dle, de_dle, nph, nscatt, x1i_av, x2i_sq, x3f_sq,
 #                tau_abs, tau_scatt, ne_0, theta_e_0, b_0, e_0
 N_BINS = consts.N_TH_BINS * consts.N_E_BINS
@@ -123,6 +127,13 @@ class EngineConfig(typing.NamedTuple):
     #   events per phase exceed n_pool/8 and the pool starves at ~50%
     #   occupancy with ~20% of occupied lanes parked at_event — raise
     #   ev_k (or lower m_period) so ev_k >= deaths_per_iter * m_period.
+    refill_k: int = 0  # compacted working-set width of the REFILL half of
+    #   the periodic phase (backlog/secondary load + init_fresh), decoupled
+    #   from ev_k.  0 = same as ev_k.  Refill is far cheaper per lane than
+    #   the scatter-event samplers, so when deaths-per-phase exceed
+    #   events-per-phase (fast-retiring regimes: grow_cap > 1 and/or
+    #   detached_events) the pool can be kept full by raising refill_k
+    #   alone instead of paying a wider event phase.
     grow_cap: float = 1.0  # upper clamp on the per-lane adaptive step
     #   factor dl_shrink.  1.0 (default) = reference semantics: a lane's
     #   step never exceeds the nominal step_size (harm_model.cpp:1620-30).
@@ -1256,6 +1267,7 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
                 w * p.theta_e_0[gi],
                 w * p.b_0[gi],
                 w * p.e_0[gi],
+                jnp.square(w * e),
             ],
             axis=-1,
         )
@@ -1304,6 +1316,7 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
     # compile OOM: "reduce-window ... 19.10M ... limit 16.00M").
     EV_K = (min(cfg.n_pool, cfg.ev_k) if cfg.ev_k
             else min(cfg.n_pool, max(256, cfg.n_pool // 8)))
+    RF_K = min(cfg.n_pool, cfg.refill_k) if cfg.refill_k else EV_K
 
     def compact_idx(mask, k):
         """First-k lane indices where mask, ascending; k-padded.
@@ -1453,14 +1466,14 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         # pilot wave burned ~26 s chewing ~1M pad rows for 1024 photons).
         nv = t_total if n_valid is None else n_valid
 
-        # Cap loads per phase at EV_K so the fresh-lane init can run
+        # Cap loads per phase at RF_K so the fresh-lane init can run
         # compacted (init_fresh); in steady state retirements per phase are
         # far below the cap, and at wave start the pool just ramps over
-        # n_pool/EV_K phases instead of one.
-        valid_g, gi_g, sidx_g = compact_idx(free, EV_K)
+        # n_pool/RF_K phases instead of one.
+        valid_g, gi_g, sidx_g = compact_idx(free, RF_K)
         # compact_idx keeps lane order, so working-set entry j is the j-th
         # free lane: its rank among free slots is j.
-        rank_g = jax.lax.broadcasted_iota(jnp.int32, (EV_K,), 0)
+        rank_g = jax.lax.broadcasted_iota(jnp.int32, (RF_K,), 0)
         n_sec = sec.count
         from_sec_g = valid_g & (rank_g < n_sec)
         sec_idx_g = jnp.clip(n_sec - 1 - rank_g, 0, sec.rows.shape[0] - 1)
@@ -1673,10 +1686,20 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
 
         state = lax.while_loop(cond, body, state)
         # Final flush of any pending records (all lanes are dead here).
-        # spectrum_add drains at most EV_K lanes per call, so loop.
+        # spectrum_add drains at most EV_K lanes per call, so loop.  A lane
+        # that is record_pending AND still holds an unconsumed detached
+        # event is NOT flushable (spectrum_add skips it until
+        # process_scatters consumes the event registers) — counting it in
+        # the condition makes this while_loop infinite, which hangs the
+        # dispatch until the runtime watchdog kills the TPU worker.  Such
+        # lanes stay occupied and record on a later dispatch's periodic
+        # phase.
         def flush_cond(s):
             spec, counters, p = s
-            return jnp.any(p.record_pending)
+            pend = p.record_pending
+            if cfg.detached_events:
+                pend = pend & ~p.ev_pending
+            return jnp.any(pend)
 
         def flush_body(s):
             spec, counters, p = s

@@ -46,7 +46,7 @@ const double X1_MAX = std::log(100.0);
 
 constexpr int N_TH_BINS = 6;
 constexpr int N_E_BINS = 200;
-constexpr int N_SPEC_CHAN = 13;
+constexpr int N_SPEC_CHAN = 14;  // 13 reference channels + sum((w*e)^2)
 constexpr double SPEC_D_L_E = 0.25;
 const double SPEC_L_E_0 = std::log(1.0e-12);
 
@@ -848,6 +848,7 @@ struct Tracker {
     row[10] += w * ph.theta_e_0;
     row[11] += w * ph.b_0;
     row[12] += w * ph.e_0;
+    row[13] += w * ph.e * w * ph.e;  // MC variance of the energy channel
   }
 
   // track_super_photon (CPUTracker.track; harm_model.cpp:894-1069).

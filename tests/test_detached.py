@@ -11,6 +11,11 @@ ways and asserts the global observables agree while event parking
 actually disappears from the lane-slot census.
 """
 
+import os
+import subprocess
+import sys
+import textwrap
+
 import numpy as np
 import pytest
 
@@ -63,3 +68,70 @@ def test_detached_events_preserves_observables(tmp_path_factory):
         st1["util_parked"] < 0.6 * st0["util_parked"]
         or st1["util_parked"] < 0.02
     ), (st0["util_parked"], st1["util_parked"])
+
+
+@pytest.mark.slow
+def test_detached_flush_terminates_with_pending_event(tmp_path_factory):
+    """A lane that is record_pending AND still holds an unconsumed detached
+    event must not spin the end-of-dispatch flush loop.
+
+    Regression: engine.run()'s final flush looped on ``any(record_pending)``
+    while spectrum_add (correctly) refuses to record lanes whose event
+    registers are unconsumed — an infinite on-device while_loop that hung
+    the dispatch until the runtime watchdog killed the TPU worker
+    (reproduced twice on hardware: wave 2 slice 0 of any detached run at
+    real occupancy).  The flush must skip such lanes and leave them
+    occupied for the next dispatch's periodic phase.
+
+    Runs in a subprocess so a regression fails by timeout instead of
+    hanging the suite.
+    """
+    dump = tmp_path_factory.mktemp("dumps") / "torus_flush"
+    from grmonty_tpu.models import torus
+
+    torus.write_torus_dump(str(dump), n1=64, n2=32)
+    child = textwrap.dedent(
+        """
+        import sys
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from jax import random
+
+        from grmonty_tpu.transport import driver, engine as engine_mod
+
+        cfg = engine_mod.EngineConfig(
+            n_pool=256, m_period=8, sec_cap=1024, max_outer=64,
+            stall_steps=1000, detached_events=True)
+        sim = driver.Simulation(sys.argv[1], photon_n=60, mass_unit=4e18,
+                                config=cfg, emit_chunk=256, warmup=16)
+        eng = sim.engine
+        state = eng["fresh_state"](random.PRNGKey(0))
+        one = jnp.zeros(256, bool).at[0].set(True)
+        pool = state.pool._replace(
+            occupied=one, record_pending=one, ev_pending=one,
+            alive=jnp.zeros(256, bool),
+            # plausible event/record payloads so nothing NaNs
+            w=jnp.where(one, 1.0, 0.0).astype(pool_dt := state.pool.w.dtype),
+            e=jnp.where(one, 1e-6, 0.0).astype(pool_dt),
+        )
+        state = state._replace(pool=pool)
+        rows = jnp.zeros((1, engine_mod.ROW_WIDTH), cfg.dtype)
+        # tail_exit = n_pool and an empty, fully-consumed backlog: the main
+        # while_loop exits immediately and control reaches the flush loop.
+        out = jax.block_until_ready(
+            jax.jit(eng["run"])(state, rows, jnp.asarray(256, jnp.int32),
+                                jnp.asarray(0, jnp.int32)))
+        assert bool(out.pool.occupied[0]), "lane must stay occupied"
+        assert bool(out.pool.record_pending[0])
+        assert bool(out.pool.ev_pending[0])
+        print("FLUSH-OK")
+        """
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    res = subprocess.run(
+        [sys.executable, "-c", child, str(dump)],
+        capture_output=True, text=True, timeout=1500, env=env,
+    )
+    assert res.returncode == 0, (res.stdout, res.stderr)
+    assert "FLUSH-OK" in res.stdout

@@ -34,7 +34,7 @@ def run_one(dump, photon_n, grow, pool):
                             warmup=256)
     spec, stats = sim.run()
     NB, NE = consts.N_TH_BINS, consts.N_E_BINS
-    se = np.asarray(spec)[: NB * NE].reshape(NB, NE, 13)
+    se = np.asarray(spec)[: NB * NE].reshape(NB, NE, -1)
     return se, stats
 
 

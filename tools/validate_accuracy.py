@@ -174,8 +174,8 @@ def main():
                      mass_unit=args.mass_unit)
 
     # --- comparisons ----------------------------------------------------
-    se = spec_e[: NB * NE].reshape(NB, NE, 13)
-    so = so.reshape(NB, NE, 13)
+    se = spec_e[: NB * NE].reshape(NB, NE, -1)
+    so = so.reshape(NB, NE, -1)
 
     lum_e = se[:, :, 1].sum() / n_eng
     lum_o = so[:, :, 1].sum() / n_orc
@@ -191,9 +191,15 @@ def main():
     n_e = se[:, :, 2].sum(0)[: ne_g * g].reshape(ne_g, g).sum(1)
     n_o = so[:, :, 2].sum(0)[: ne_g * g].reshape(ne_g, g).sum(1)
     use = (n_o >= 10) & (n_e >= 10)
-    # relative MC error per group ~ 1/sqrt(n); the weight spread inflates it,
-    # so this chi^2 is an upper bound on significance
-    var = (e_e**2 / np.maximum(n_e, 1) + e_o**2 / np.maximum(n_o, 1))
+    # Per-group MC variance from the sum((w*e)^2) accumulator (spectrum
+    # channel 13): Var(sum w_i e_i) ~= sum (w_i e_i)^2 for a compound-
+    # Poisson record stream.  The old e^2/n estimate assumed uniform
+    # weights and UNDERestimated the variance by the weight-spread factor
+    # (recorded weights span decades via the scattering bias), inflating
+    # chi^2 by the same factor.
+    v_e = se[:, :, 13].sum(0)[: ne_g * g].reshape(ne_g, g).sum(1) / n_eng**2
+    v_o = so[:, :, 13].sum(0)[: ne_g * g].reshape(ne_g, g).sum(1) / n_orc**2
+    var = v_e + v_o
     chi2 = float((((e_e - e_o) ** 2)[use] / var[use]).sum())
     dof = int(use.sum())
 
