@@ -45,6 +45,7 @@ def find_dump():
 
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import jax
     import jax.numpy as jnp
 
     from grmonty_tpu.transport import driver, engine
@@ -96,7 +97,30 @@ def main():
         tail_stall_steps=(int(os.environ["BENCH_TAIL_STALL"])
                           if os.environ.get("BENCH_TAIL_STALL") else None),
     )
-    spec, stats = sim.run()
+    # Crash survival: checkpoint between waves, and on a fatal device error
+    # re-exec this process to resume — an in-process PJRT client rebuild
+    # cannot reconnect after the tunneled TPU worker restarts (it keeps
+    # answering UNAVAILABLE for minutes), but a fresh process connects fine.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+    ckpt = os.path.join(cache_dir, "bench_ckpt.npz")
+    try:
+        spec, stats = sim.run(checkpoint_path=ckpt)
+    except ValueError:
+        # stale checkpoint from a differently-configured run: discard
+        if os.path.exists(ckpt):
+            os.remove(ckpt)
+            spec, stats = sim.run(checkpoint_path=ckpt)
+        else:
+            raise
+    except jax.errors.JaxRuntimeError as err:
+        n = int(os.environ.get("BENCH_REEXEC", "0"))
+        if n >= 2:
+            raise
+        os.environ["BENCH_REEXEC"] = str(n + 1)
+        print(f"fatal device error; re-exec resume {n + 1}/2: {err}",
+              file=sys.stderr)
+        sys.stderr.flush()
+        os.execv(sys.executable, [sys.executable] + sys.argv)
     sim.report(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "bench_spectrum"))
 
     rate = stats["photon_rate"]
