@@ -73,6 +73,7 @@ def main():
         refill_k=int(os.environ.get("BENCH_REFILL_K", "0")),
         fluid_cache=os.environ.get("BENCH_FLUID_CACHE", "0") == "1",
         grow_cap=float(os.environ.get("BENCH_GROW_CAP", "1.0")),
+        grow_rate=float(os.environ.get("BENCH_GROW_RATE", "2.0")),
         detached_events=os.environ.get("BENCH_DETACH", "0") == "1",
         pallas_hot=os.environ.get("BENCH_PALLAS", "0") == "1",
         pallas_block=int(os.environ.get("BENCH_PALLAS_BLOCK", "2048")),

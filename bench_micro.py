@@ -62,6 +62,7 @@ def main():
         pallas_block=int(os.environ.get("MICRO_PALLAS_BLOCK", "8192")),
         ev_k=int(os.environ.get("MICRO_EV_K", "0")),
         grow_cap=float(os.environ.get("MICRO_GROW_CAP", "1.0")),
+        grow_rate=float(os.environ.get("MICRO_GROW_RATE", "2.0")),
         detached_events=os.environ.get("MICRO_DETACH", "0") == "1",
     )
     # photon_n matches the macro bench so the zone sweep (and therefore the
