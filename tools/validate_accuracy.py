@@ -49,6 +49,9 @@ def main():
     ap.add_argument("--grow-cap", type=float, default=1.0,
                     help="engine grow_cap to validate against the oracle "
                     "(the oracle always integrates at reference semantics)")
+    ap.add_argument("--grow-rate", type=float, default=2.0,
+                    help="engine per-commit step growth rate (see "
+                    "EngineConfig.grow_rate)")
     ap.add_argument("--detached", action="store_true",
                     help="engine detached_events to validate against the "
                     "oracle (parking-free parent continuation)")
@@ -85,6 +88,7 @@ def main():
     cfg = engine.EngineConfig(
         n_pool=1024, m_period=8, sec_cap=16384, max_outer=200000,
         stall_steps=100000, grow_cap=args.grow_cap,
+        grow_rate=args.grow_rate,
         detached_events=args.detached,
     )
     sim = driver.Simulation(dump, photon_n=args.photon_n,
@@ -233,6 +237,7 @@ def main():
         "groups": groups,
         "mass_unit": args.mass_unit,
         "grow_cap": args.grow_cap,
+        "grow_rate": args.grow_rate,
         "detached": bool(args.detached),
         "oracle": args.oracle,
     }
