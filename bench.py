@@ -58,9 +58,23 @@ def main():
     dtype = jnp.float32 if os.environ.get("BENCH_DTYPE", "float32") == "float32" else jnp.float64
     stall = int(os.environ.get("BENCH_STALL_STEPS", "150000"))
 
+    # Default configuration = the accuracy-gated accelerated profile (all
+    # deviations chi2-validated against the reference-semantics oracle,
+    # see ACCURACY.md):
+    #   detached_events + grow_cap=8 @ grow_rate=2^0.25, m_period=16,
+    #   ev_k=16384, refill_k=32768  ->  lum_ratio 0.979, chi2/dof 0.611 at
+    #   2000 photons.  Measured on a real v5e (5e5 photons, A/B series):
+    #   48.7k ph/s (reference semantics) -> 90.8k ph/s.
+    # BENCH_* env knobs restore any piece; BENCH_REFERENCE=1 restores the
+    # strict reference-semantics profile wholesale.
+    ref_mode = os.environ.get("BENCH_REFERENCE", "0") == "1"
+
+    def knob(name, default, refdefault):
+        return os.environ.get(name, refdefault if ref_mode else default)
+
     cfg = engine.EngineConfig(
         n_pool=pool,
-        m_period=int(os.environ.get("BENCH_PERIOD", "32")),
+        m_period=int(knob("BENCH_PERIOD", "16", "32")),
         sec_cap=pool,
         stall_steps=stall,
         dtype=dtype,
@@ -70,11 +84,11 @@ def main():
         # per period in the Compton-storm segment (occupancy ~43%);
         # 16384 lifts occupancy to ~80% and 2.3x's the photon rate.
         ev_k=int(os.environ.get("BENCH_EV_K", "16384")),
-        refill_k=int(os.environ.get("BENCH_REFILL_K", "0")),
+        refill_k=int(knob("BENCH_REFILL_K", "32768", "0")),
         fluid_cache=os.environ.get("BENCH_FLUID_CACHE", "0") == "1",
-        grow_cap=float(os.environ.get("BENCH_GROW_CAP", "1.0")),
-        grow_rate=float(os.environ.get("BENCH_GROW_RATE", "2.0")),
-        detached_events=os.environ.get("BENCH_DETACH", "0") == "1",
+        grow_cap=float(knob("BENCH_GROW_CAP", "8.0", "1.0")),
+        grow_rate=float(knob("BENCH_GROW_RATE", "1.1892", "2.0")),
+        detached_events=knob("BENCH_DETACH", "1", "0") == "1",
         pallas_hot=os.environ.get("BENCH_PALLAS", "0") == "1",
         pallas_block=int(os.environ.get("BENCH_PALLAS_BLOCK", "2048")),
     )
@@ -94,9 +108,11 @@ def main():
         slice_iters=int(os.environ.get("BENCH_SLICE", "2048")),
         wave_tail_exit=pool,
         tail_grow_cap=(float(os.environ["BENCH_TAIL_GROW"])
-                       if os.environ.get("BENCH_TAIL_GROW") else None),
+                       if "BENCH_TAIL_GROW" in os.environ
+                       else None if ref_mode else 16.0),
         tail_stall_steps=(int(os.environ["BENCH_TAIL_STALL"])
-                          if os.environ.get("BENCH_TAIL_STALL") else None),
+                          if "BENCH_TAIL_STALL" in os.environ
+                          else None if ref_mode else 50000),
     )
     # Crash survival: checkpoint between waves, and on a fatal device error
     # re-exec this process to resume — an in-process PJRT client rebuild
