@@ -61,6 +61,7 @@ def main():
         pallas_hot=os.environ.get("MICRO_PALLAS", "0") == "1",
         pallas_block=int(os.environ.get("MICRO_PALLAS_BLOCK", "8192")),
         ev_k=int(os.environ.get("MICRO_EV_K", "0")),
+        refill_k=int(os.environ.get("MICRO_REFILL_K", "0")),
         grow_cap=float(os.environ.get("MICRO_GROW_CAP", "1.0")),
         grow_rate=float(os.environ.get("MICRO_GROW_RATE", "2.0")),
         detached_events=os.environ.get("MICRO_DETACH", "0") == "1",

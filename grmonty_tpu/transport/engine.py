@@ -571,6 +571,14 @@ def hot_phase_b(rows, x, k, dkdlam, e_0_s, w, alpha_scatti, alpha_absi, bi,
     inter = moving & commit & ~was_pend & ~stopped & interacting
 
     # Bilinear fluid blend (fluid.get_fluid_params_c without the gather).
+    # ``rows``: (..., 32) array, or a 32-tuple of (N,) columns.  Layout
+    # note (measured, tools/probe_cols.py): extracting lane-minor columns
+    # from the gathered (N, 32) rows is FREE on a v5e — every strategy
+    # (naive slices, barrier-transpose, I8-dot transpose) times identical
+    # to the bare gather, which is the hot iteration's true floor at
+    # ~8.7 ns/index.  Do not "optimize" the extraction; attack the gather.
+    col = (rows.__getitem__ if isinstance(rows, tuple)
+           else lambda m: rows[..., m])
     x1, x2 = x[1], x[2]
     inside = (
         (x1 >= mc.x_start[1]) & (x1 <= mc.x_stop[1])
@@ -583,8 +591,8 @@ def hot_phase_b(rows, x, k, dkdlam, e_0_s, w, alpha_scatti, alpha_absi, bi,
     c10 = del_i * (1.0 - del_j)
     c11 = del_i * del_j
     pr = [
-        rows[..., m] * c00 + rows[..., 8 + m] * c01
-        + rows[..., 16 + m] * c10 + rows[..., 24 + m] * c11
+        col(m) * c00 + col(8 + m) * c01
+        + col(16 + m) * c10 + col(24 + m) * c11
         for m in range(8)
     ]
     rho, uu = pr[0], pr[1]
