@@ -65,6 +65,7 @@ def main():
         grow_cap=float(os.environ.get("MICRO_GROW_CAP", "1.0")),
         grow_rate=float(os.environ.get("MICRO_GROW_RATE", "2.0")),
         detached_events=os.environ.get("MICRO_DETACH", "0") == "1",
+        col_gather=os.environ.get("MICRO_COL_GATHER", "0") == "1",
     )
     # photon_n matches the macro bench so the zone sweep (and therefore the
     # regime at a given row offset) is the same plan the bench runs.

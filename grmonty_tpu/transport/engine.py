@@ -165,6 +165,24 @@ class EngineConfig(typing.NamedTuple):
     #   Physically identical semantics, different RNG trajectory.
     #   Works with pallas_hot (capture runs in XLA on extra kernel
     #   outputs); unsupported on the sharded path.
+    col_gather: bool = False  # gather the bilinear corner rows from the
+    #   TRANSPOSED (32, n_zones) table so the hot step receives the 32
+    #   components as sublane-major rows of a (32, N) array.  Motivation
+    #   (TPU trace 2026-08-19, tools/xplane_ops.py): with the natural
+    #   (n_zones, 32) table the gathered rows are lane-minor, and XLA
+    #   materializes the 32 per-component columns through two
+    #   multi-output `slice_reduce` fusions that repack every value
+    #   across lanes — ~1.0 ms/iter at pool=65536 on a v5e, 60% of the
+    #   hot iteration, vs ~0.58 ms for the gather itself; the serial
+    #   A/B (tools/probe_serial_extract.py) times a transposed take at
+    #   the bare-gather floor.  MEASURED IN THE ENGINE IT LOSES anyway
+    #   (bench_micro A/B on v5e, bench config, pool=65536): hot_step
+    #   1.811 ms/iter transposed vs 1.746 natural — the (32, N) lane-dim
+    #   take is itself lane-repack-bound once it cannot fuse with the
+    #   surrounding iteration, same failure mode as fluid_cache below.
+    #   Physically exact (same values, same order); kept OFF as an A/B
+    #   knob.  The layout tax must be attacked inside a fused kernel
+    #   (pallas gather+blend), not by re-laying-out XLA inputs.
     fluid_cache: bool = False  # carry each lane's bilinear corner row in
     #   the pool and re-gather only lanes whose cell changed (a few % per
     #   step), compacted (see fluid.get_fluid_params_frow).  Physically
@@ -559,7 +577,9 @@ def hot_phase_b(rows, x, k, dkdlam, e_0_s, w, alpha_scatti, alpha_absi, bi,
                 mc, hc_coeffs, k2_coeffs, weight_min, stall_steps):
     """Post-gather half of the hot iteration (harm_model.cpp:937-1056).
 
-    ``rows``: (N, 32) gathered bilinear corner rows at the new position;
+    ``rows``: the gathered bilinear corner rows at the new position — a
+    32-tuple of (N,) component vectors (the production layout, see
+    ``EngineConfig.col_gather``) or an (N, 32) array;
     ``x_pre``/... : the pre-step state for scatter rollback; ``u_x1``:
     (N,) uniforms for the optical-depth draw; ``bias_scale``: the
     counters-derived scalar 100/(bias_norm * max_tau_scatt * (avg+2)).
@@ -571,12 +591,12 @@ def hot_phase_b(rows, x, k, dkdlam, e_0_s, w, alpha_scatti, alpha_absi, bi,
     inter = moving & commit & ~was_pend & ~stopped & interacting
 
     # Bilinear fluid blend (fluid.get_fluid_params_c without the gather).
-    # ``rows``: (..., 32) array, or a 32-tuple of (N,) columns.  Layout
-    # note (measured, tools/probe_cols.py): extracting lane-minor columns
-    # from the gathered (N, 32) rows is FREE on a v5e — every strategy
-    # (naive slices, barrier-transpose, I8-dot transpose) times identical
-    # to the bare gather, which is the hot iteration's true floor at
-    # ~8.7 ns/index.  Do not "optimize" the extraction; attack the gather.
+    # ``rows``: a 32-tuple of (N,) columns, or an (..., 32) array.  Layout
+    # note (TPU trace, tools/xplane_ops.py + probe_serial_extract.py):
+    # lane-minor column extraction from a materialized (N, 32) array costs
+    # ~1.0 ms/iter at pool=65536 in the full engine (XLA emits two
+    # multi-output slice_reduce lane-repack fusions), so production
+    # gathers from the transposed table and passes the tuple form here.
     col = (rows.__getitem__ if isinstance(rows, tuple)
            else lambda m: rows[..., m])
     x1, x2 = x[1], x[2]
@@ -712,9 +732,10 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
     k2_coeffs = np.asarray(cheb.fit_k2())  # unrolled into the FMA chain
 
     # Packed bilinear-corner table: ONE gather per hot step (see fluid.py).
-    corner_rows = jnp.asarray(
-        fluid.make_corner_table(np.asarray(prims), mc.n1, mc.n2), dt
-    )
+    corner_np = fluid.make_corner_table(np.asarray(prims), mc.n1, mc.n2)
+    corner_rows = jnp.asarray(corner_np, dt)
+    # Transposed copy for the hot step's column gather (col_gather).
+    corner_rowsT = jnp.asarray(np.ascontiguousarray(corner_np.T), dt)
 
     # ------------------------------------------------------------------
     # physics helpers (component layer)
@@ -986,7 +1007,13 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
                 mc, cfg.fp_iters, weight_min, SHRINK_FLOOR, cfg.ref_err_metric,
                 cfg.grow_cap, cfg.grow_rate,
             )
-        if gather_fn is None:
+        if cfg.col_gather:
+            # Transposed-table gather: (32, N) with lanes along the pool
+            # axis, handed to phase_b as 32 per-component vectors (see
+            # EngineConfig.col_gather for the measured layout rationale).
+            rt = jnp.take(corner_rowsT, A["z"], axis=1)
+            rows = tuple(rt[m] for m in range(corner_rowsT.shape[0]))
+        elif gather_fn is None:
             rows = corner_rows[A["z"]]
         else:
             rows = gather_fn(corner_rows, A["z"])
