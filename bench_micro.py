@@ -66,6 +66,7 @@ def main():
         grow_rate=float(os.environ.get("MICRO_GROW_RATE", "2.0")),
         detached_events=os.environ.get("MICRO_DETACH", "0") == "1",
         col_gather=os.environ.get("MICRO_COL_GATHER", "0") == "1",
+        mxu_extract=os.environ.get("MICRO_MXU", "0") == "1",
     )
     # photon_n matches the macro bench so the zone sweep (and therefore the
     # regime at a given row offset) is the same plan the bench runs.
@@ -112,11 +113,17 @@ def main():
     slice_iters = int(s_out.it)
     occ_after = int(jax.device_get(s_out.pool.occupied.sum()))
 
-    # hot_step marginal via two fori lengths
+    # hot_step marginal via two fori lengths.  The fused Pallas kernels
+    # need the engine's raised scoped-VMEM limit on EVERY jit that traces
+    # them (otherwise the TPU compiler fails with a 38 MB > 16 MB scoped
+    # vmem stack OOM); the driver passes it on its dispatches, match it.
     from jax import lax
+    copts = engine.compiler_options(cfg)
     hot = sim.engine["hot_step"]
-    f64 = jax.jit(lambda s: lax.fori_loop(0, 64, lambda i, s_: hot(s_), s))
-    f512 = jax.jit(lambda s: lax.fori_loop(0, 512, lambda i, s_: hot(s_), s))
+    f64 = jax.jit(lambda s: lax.fori_loop(0, 64, lambda i, s_: hot(s_), s),
+                  compiler_options=copts)
+    f512 = jax.jit(lambda s: lax.fori_loop(0, 512, lambda i, s_: hot(s_), s),
+                   compiler_options=copts)
     t64, _ = timed(f64, state)
     t512, _ = timed(f512, state)
     hot_ms = (t512 - t64) / (512 - 64) * 1e3

@@ -43,6 +43,10 @@ def build_parser():
                    help="adaptive step growth cap (1.0 = reference step "
                    "semantics; >1 enables accuracy-gated step growth, see "
                    "README deviations)")
+    p.add_argument("--no_mxu_extract", action="store_true",
+                   help="disable the MXU corner-row transpose (pure layout "
+                   "optimization, exact physics; on by default — disable "
+                   "only to A/B the XLA column-extraction path)")
     p.add_argument("--detach", action="store_true",
                    help="detached scatter events: parents continue "
                    "immediately after an event instead of parking until "
@@ -82,6 +86,7 @@ def main(argv=None):
         dtype=jnp.float32 if args.dtype == "float32" else jnp.float64,
         grow_cap=args.grow_cap,
         detached_events=args.detach,
+        mxu_extract=not args.no_mxu_extract,
     )
     if args.devices > 1:
         if args.backend == "cpu":

@@ -13,6 +13,7 @@ the magnetic 4-vector b^mu, and return everything batched.
 import math
 import typing
 
+import jax
 import jax.numpy as jnp
 
 from grmonty_tpu import consts
@@ -345,8 +346,27 @@ def _four_vectors_c(v1, v2, v3, b1, b2, b3, g7, gc6, mc):
     return u_con, u_cov, b_con, b_cov, b_mag
 
 
+def mxu_transpose_rows(rows):
+    """(N, 32) gathered rows -> (32, N) on the MXU via a one-hot dot.
+
+    TPU rationale (measured, bench_micro A/B at pool=65536 on a v5e):
+    letting XLA fuse 32 lane-minor column extractions of the gathered rows
+    into the downstream elementwise physics emits multi-output lane-repack
+    fusions worth ~1.0 ms/iter; one ``dot_general`` against the identity
+    re-lays the rows out through the MXU's systolic data path in tens of
+    microseconds.  Exact: products are x1.0/x0.0 and each output sums one
+    nonzero term, so out[k, n] == rows[n, k] bitwise even at TPU matmul
+    precision (bf16_3x recomposition is lossless and HIGHEST is requested).
+    """
+    eye = jnp.eye(32, dtype=rows.dtype)
+    return jax.lax.dot_general(
+        eye, rows, dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def get_fluid_params_c(x1, x2, corner_rows, mc, g7=None, gc6=None,
-                       gather_fn=None):
+                       gather_fn=None, mxu=False):
     """Bilinear fluid state at (x1, x2) via ONE wide-row gather.
 
     Hot-path equivalent of :func:`get_fluid_params` (harm_model.cpp:595-671):
@@ -355,7 +375,10 @@ def get_fluid_params_c(x1, x2, corner_rows, mc, g7=None, gc6=None,
     component math.  ``g7``/``gc6``: optional precomputed metric component
     tuples at (x1, x2) — computed here if omitted.  ``gather_fn``: optional
     ``(table, idx) -> rows`` override for the hot gather (the engine passes
-    the Pallas VMEM kernel, ops/gather.py, on TPU).
+    the Pallas VMEM kernel, ops/gather.py, on TPU).  ``mxu``: transpose the
+    gathered rows to (32, N) with :func:`mxu_transpose_rows` and blend
+    lane-major (bitwise-identical result, dodges the XLA lane-repack
+    fusions; see EngineConfig.mxu_extract).
     """
     inside = (
         (x1 >= mc.x_start[1])
@@ -370,16 +393,23 @@ def get_fluid_params_c(x1, x2, corner_rows, mc, g7=None, gc6=None,
     else:
         rows = gather_fn(corner_rows, z)
 
-    c00 = ((1.0 - del_i) * (1.0 - del_j))[:, None]
-    c01 = ((1.0 - del_i) * del_j)[:, None]
-    c10 = (del_i * (1.0 - del_j))[:, None]
-    c11 = (del_i * del_j)[:, None]
-    p = (
-        rows[:, 0:8] * c00
-        + rows[:, 8:16] * c01
-        + rows[:, 16:24] * c10
-        + rows[:, 24:32] * c11
-    ).T  # (8, N): components back into the sublane dim
+    c00 = (1.0 - del_i) * (1.0 - del_j)
+    c01 = (1.0 - del_i) * del_j
+    c10 = del_i * (1.0 - del_j)
+    c11 = del_i * del_j
+    if mxu:
+        rt = mxu_transpose_rows(rows)  # (32, N)
+        p = jnp.stack([
+            rt[m] * c00 + rt[8 + m] * c01 + rt[16 + m] * c10 + rt[24 + m] * c11
+            for m in range(8)
+        ])  # (8, N)
+    else:
+        p = (
+            rows[:, 0:8] * c00[:, None]
+            + rows[:, 8:16] * c01[:, None]
+            + rows[:, 16:24] * c10[:, None]
+            + rows[:, 24:32] * c11[:, None]
+        ).T  # (8, N): components back into the sublane dim
 
     rho, uu = p[0], p[1]
     n_e = jnp.where(inside, rho * mc.n_e_unit, 0.0)

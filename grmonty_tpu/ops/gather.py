@@ -1,5 +1,17 @@
 """Pallas VMEM row gather for the transport hot loop.
 
+STATUS (measured on a real v5e, 2026-08-19): NOT usable on hardware for
+production table sizes — Mosaic rejects the kernel with ``Not implemented:
+Multiple source vregs along gather dimension``: the hardware
+``tpu.dynamic_gather`` only permutes within one 8-sublane vreg, so a
+65536-row table cannot be gathered in VMEM at all.  The kernel still runs
+in interpret mode (CPU tests) and would work for tables with <= 8 rows per
+lane group; kept for the record and gated by ``fits_vmem`` + the
+``vmem_gather`` EngineConfig knob (default off).  The production gather is
+the XLA HBM row gather (~8.5 ns/index at 64k lanes); the layout cost of
+CONSUMING the gathered rows is solved separately by the MXU transpose
+(fluid.mxu_transpose_rows / EngineConfig.mxu_extract).
+
 The transport engine's per-iteration cost is dominated by ONE dynamic row
 gather from the packed bilinear-corner table (``fluid.make_corner_table``):
 XLA lowers it to an HBM gather that costs ~8.5 ns/index at 64k lanes

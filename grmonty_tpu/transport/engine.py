@@ -67,6 +67,9 @@ N_SPEC_CHAN = 14  # Spectrum struct channels (harm_data.hpp:129-143) + one
 N_BINS = consts.N_TH_BINS * consts.N_E_BINS
 DUMP_BIN = N_BINS  # overflow row for masked-out scatter-adds
 
+# One-hot operand for the mxu_extract corner-row transpose (see EngineConfig).
+_EYE32 = np.eye(32, dtype=np.float32)
+
 # Packed photon-row schema shared by the backlog and the secondary buffer
 # (the InitPhoton struct, photon.hpp:41-52, as one gatherable row).
 ROW_X = slice(0, 4)
@@ -183,6 +186,18 @@ class EngineConfig(typing.NamedTuple):
     #   Physically exact (same values, same order); kept OFF as an A/B
     #   knob.  The layout tax must be attacked inside a fused kernel
     #   (pallas gather+blend), not by re-laying-out XLA inputs.
+    mxu_extract: bool = False  # transpose the gathered (N, 32) corner rows
+    #   to (32, N) with ONE one-hot dot_general on the MXU before phase_b,
+    #   handing the physics 32 lane-major component vectors (sublane
+    #   slices, free) instead of letting XLA fuse 32 lane-minor column
+    #   extractions into the physics fusions (the ~1.0 ms/iter
+    #   "slice_reduce" lane-repack pair the TPU trace shows at
+    #   pool=65536).  out[k, n] = sum_j eye[k, j] * rows[n, j] is exact
+    #   at Precision.HIGHEST (one-hot products, bf16_3x-recomposed f32),
+    #   so the blend math downstream is bitwise identical to the column
+    #   path.  The MXU cost is ~32*32*N MACs ~ tens of us — the whole
+    #   point is that the MXU's systolic data path does layout changes
+    #   for free while the VPU pays a shuffle per element.
     fluid_cache: bool = False  # carry each lane's bilinear corner row in
     #   the pool and re-gather only lanes whose cell changed (a few % per
     #   step), compacted (see fluid.get_fluid_params_frow).  Physically
@@ -754,7 +769,8 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         """FluidC + metric tuple at arbitrary positions (one row gather)."""
         g7 = geometry.gcov_c(x1, x2, a, hs, r0)
         fl = fluid.get_fluid_params_c(x1, x2, corner_rows, mc, g7=g7,
-                                      gather_fn=gather_fn)
+                                      gather_fn=gather_fn,
+                                      mxu=cfg.mxu_extract)
         return g7, fl
 
     def eval_fluid(p: Pool):
@@ -1013,6 +1029,15 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
             # EngineConfig.col_gather for the measured layout rationale).
             rt = jnp.take(corner_rowsT, A["z"], axis=1)
             rows = tuple(rt[m] for m in range(corner_rowsT.shape[0]))
+        elif cfg.mxu_extract:
+            raw = (corner_rows[A["z"]] if gather_fn is None
+                   else gather_fn(corner_rows, A["z"]))
+            rt = lax.dot_general(
+                _EYE32.astype(raw.dtype), raw,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                precision=lax.Precision.HIGHEST,
+            )  # (32, N): rt[k, n] == raw[n, k], exact (see mxu_extract)
+            rows = tuple(rt[m] for m in range(32))
         elif gather_fn is None:
             rows = corner_rows[A["z"]]
         else:

@@ -107,3 +107,40 @@ def test_geom_blend_accuracy(torus_model):
     ucov_b = np.stack([np.asarray(flu_b[3 + i]) for i in range(4)], axis=-1)
     du = np.abs(ucov_b - np.asarray(fp.u_cov)).max(-1)
     assert np.median(du / (np.abs(np.asarray(fp.u_cov)).max(-1) + 1e-30)) < 0.02
+
+
+def test_mxu_transpose_rows_exact(torus_model):
+    """The one-hot dot transpose is bitwise the plain transpose.
+
+    (EngineConfig.mxu_extract relies on this: the MXU layout change must
+    not perturb the gathered corner rows at all.)"""
+    mc, prims, *_ = _setup(torus_model)
+    table = jnp.asarray(
+        fluid.make_corner_table(np.asarray(prims), mc.n1, mc.n2), jnp.float32)
+    idx = jnp.asarray([0, 7, 129, mc.n1 * mc.n2 - 1, 512], jnp.int32)
+    rows = table[idx]
+    rt = fluid.mxu_transpose_rows(rows)
+    assert rt.shape == (32, idx.shape[0])
+    np.testing.assert_array_equal(np.asarray(rt), np.asarray(rows).T)
+
+
+def test_params_mxu_matches_column_path(torus_model):
+    """get_fluid_params_c(mxu=True) == the column-extraction path.
+
+    The blend applies identical products/sums in identical order, so the
+    only permitted difference is compiler FMA contraction — bounded to a
+    few ulps here."""
+    mc, prims, *_ = _setup(torus_model)
+    table = jnp.asarray(
+        fluid.make_corner_table(np.asarray(prims), mc.n1, mc.n2), jnp.float32)
+    rng = np.random.default_rng(7)
+    n = 257
+    x1 = jnp.asarray(rng.uniform(mc.x_start[1], mc.x_stop[1], n), jnp.float32)
+    x2 = jnp.asarray(rng.uniform(mc.x_start[2], mc.x_stop[2], n), jnp.float32)
+    a = fluid.get_fluid_params_c(x1, x2, table, mc, mxu=False)
+    b = fluid.get_fluid_params_c(x1, x2, table, mc, mxu=True)
+    for fa, fb in zip(a, b):
+        for ca, cb in zip(jnp.atleast_1d(fa) if not isinstance(fa, tuple) else fa,
+                          jnp.atleast_1d(fb) if not isinstance(fb, tuple) else fb):
+            np.testing.assert_allclose(np.asarray(ca), np.asarray(cb),
+                                       rtol=5e-6, atol=0.0)
