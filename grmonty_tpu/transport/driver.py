@@ -189,6 +189,7 @@ class Simulation:
         # Straggler drain runs as a cascade of shrinking pools (see
         # _drain_tail); engines are built lazily and cached per pool size.
         self._tail_engines = {}
+        self._drain_fns = {}
         # Host-side float64 spectrum accumulator, drained per slice.
         self.spec_acc = np.zeros((engine_mod.N_BINS + 1, engine_mod.N_SPEC_CHAN))
         self._build_device()
@@ -241,6 +242,7 @@ class Simulation:
         self._run_jit = jax.jit(self.engine["run"],
                                 compiler_options=engine_mod.compiler_options(self.cfg))
         self._tail_engines = {}  # rebuilt lazily (per pool size)
+        self._drain_fns = {}
         # Per-slice telemetry summary, jitted so the slice loop makes ONE
         # dispatch + ONE device_get instead of ~8 tunneled roundtrips.
         self._slice_stats = jax.jit(lambda s: (
@@ -622,6 +624,76 @@ class Simulation:
                 eng["run"], compiler_options=engine_mod.compiler_options(cfg)))
         return self._tail_engines[key]
 
+    def _drain_jits(self, n_t):
+        """Jitted (gather, merge, census) for one tail-cascade stage size.
+
+        The first version of the drain did the straggler gather and the
+        merge-back with eager per-leaf ops and host numpy — through the
+        tunneled TPU runtime every eager op is a ~60 ms roundtrip, and the
+        ~45-leaf pool pytree made each stage transition cost seconds (a
+        measured 5e5-photon bench spent ~17 s there for 763 stragglers).
+        One jitted dispatch each way replaces them.
+        """
+        if n_t in self._drain_fns:
+            return self._drain_fns[n_t]
+        n_pool = self.cfg.n_pool
+        detached = self.cfg.detached_events
+
+        def gather(pool):
+            """First-n_t occupied lanes -> (small pool, emptied wide pool)."""
+            occ = pool.occupied
+            rank = jnp.cumsum(occ.astype(jnp.int32)) - 1
+            take = occ & (rank < n_t)
+            slot = jnp.where(take, rank, n_t)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (n_pool,), 0)
+            idx = jnp.full((n_t,), n_pool, jnp.int32).at[slot].set(
+                lane, mode="drop")
+            valid = idx < n_pool
+            gi = jnp.minimum(idx, n_pool - 1)
+            small = jax.tree.map(
+                lambda a: a if a.shape[-1] == 0 else a[..., gi], pool)
+            small = small._replace(
+                occupied=small.occupied & valid,
+                alive=small.alive & valid,
+                pend_push=small.pend_push & valid,
+                at_event=small.at_event & valid,
+                record_pending=small.record_pending & valid,
+            )
+            if detached:
+                # padding lanes are copies of a real lane — mask their
+                # pending-event flag or its event would duplicate
+                small = small._replace(ev_pending=small.ev_pending & valid)
+            wide = pool._replace(occupied=occ & ~take, alive=pool.alive & ~take)
+            return small, wide
+
+        def merge(wide, small):
+            """Scatter leftover small-pool lanes into free wide slots."""
+            free = ~wide.occupied
+            frank = jnp.cumsum(free.astype(jnp.int32)) - 1
+            lane = jax.lax.broadcasted_iota(jnp.int32, (n_pool,), 0)
+            slot = jnp.where(free & (frank < n_t), frank, n_t)
+            free_idx = jnp.full((n_t,), n_pool, jnp.int32).at[slot].set(
+                lane, mode="drop")
+            lrank = jnp.cumsum(small.occupied.astype(jnp.int32)) - 1
+            dest = jnp.where(
+                small.occupied,
+                free_idx[jnp.minimum(jnp.where(small.occupied, lrank, 0),
+                                     n_t - 1)],
+                n_pool,
+            )
+
+            def put(aw, al):
+                if aw.shape[-1] == 0:
+                    return aw
+                return aw.at[..., dest].set(al, mode="drop")
+
+            return jax.tree.map(put, wide, small)
+
+        fns = (jax.jit(gather), jax.jit(merge),
+               jax.jit(lambda p, sec: (p.occupied.sum(), sec.count)))
+        self._drain_fns[n_t] = fns
+        return fns
+
     def _drain_tail(self, state):
         """Finish leftover stragglers in a cascade of shrinking pools.
 
@@ -645,74 +717,33 @@ class Simulation:
         for si, n_t in enumerate(sizes):
             exit_occ = sizes[si + 1] if si + 1 < len(sizes) else 0
             _, run = self._tail_engine(n_t, exit_occ)
+            gather_fn, merge_fn, census = self._drain_jits(n_t)
             while True:
-                occ = np.asarray(state.pool.occupied)
-                idx = np.nonzero(occ)[0]
-                if idx.size <= exit_occ and int(state.sec.count) == 0:
+                occ_n, sec_n = (int(x) for x in jax.device_get(
+                    census(state.pool, state.sec)))
+                if occ_n <= exit_occ and sec_n == 0:
                     break
-                take = idx[:n_t]
-                gather = np.zeros(n_t, np.int64)
-                gather[: take.size] = take
-                valid = np.zeros(n_t, bool)
-                valid[: take.size] = True
-                gi = jnp.asarray(gather)
-                vm = jnp.asarray(valid)
-
-                # (zero-sized fields — the disabled fluid-cache arrays —
-                # pass through untouched)
-                small = jax.tree.map(
-                    lambda a: a if a.shape[-1] == 0 else a[..., gi],
-                    state.pool)
-                small = small._replace(
-                    occupied=small.occupied & vm,
-                    alive=small.alive & vm,
-                    pend_push=small.pend_push & vm,
-                    at_event=small.at_event & vm,
-                    record_pending=small.record_pending & vm,
-                )
-                if self.cfg.detached_events:
-                    # padding lanes are copies of lane 0 — mask their
-                    # pending-event flag or its event would duplicate
-                    small = small._replace(ev_pending=small.ev_pending & vm)
+                small, wide = gather_fn(state.pool)
                 tstate = engine_mod.State(
                     pool=small, spec=state.spec, counters=state.counters,
                     sec=state.sec, backlog_pos=jnp.zeros((), jnp.int32),
                     key=state.key, it=jnp.zeros((), jnp.int32),
                 )
                 log.info("tail drain [pool %d]: %d stragglers (+%d queued secondaries)",
-                         n_t, take.size, int(state.sec.count))
+                         n_t, occ_n, sec_n)
                 tstate = run(tstate, zero_backlog)
-                while (int(jax.device_get(tstate.pool.occupied.sum())) > exit_occ
-                       or int(tstate.sec.count) > 0):
-                    log.info("tail drain: slice continues (occ=%d, nstep_max=%d)",
-                             int(jax.device_get(tstate.pool.occupied.sum())),
-                             int(jax.device_get(tstate.pool.n_step.max())))
+                while True:
+                    t_occ, t_sec = (int(x) for x in jax.device_get(
+                        census(tstate.pool, tstate.sec)))
+                    if t_occ <= exit_occ and t_sec == 0:
+                        break
+                    log.info("tail drain: slice continues (occ=%d)", t_occ)
                     tstate = run(
                         tstate._replace(it=jnp.zeros((), jnp.int32)), zero_backlog
                     )
-                # put leftover small-pool lanes back into the wide pool slots
-                wide = state.pool
-                drop = jnp.zeros(occ.shape, bool).at[jnp.asarray(take)].set(True)
-                wide = wide._replace(
-                    occupied=wide.occupied & ~drop, alive=wide.alive & ~drop,
-                )
-                leftover = jax.tree.map(np.asarray, tstate.pool)
-                n_left = int(leftover.occupied.sum())
-                if n_left:
-                    li = np.nonzero(leftover.occupied)[0]
-                    free = np.nonzero(~np.asarray(wide.occupied))[0][:n_left]
-                    wide_h = jax.tree.map(np.asarray, wide)
-
-                    def merge(aw, al):
-                        if aw.shape[-1]:
-                            aw = aw.copy()
-                            aw[..., free] = al[..., li]
-                        return jnp.asarray(aw)
-
-                    wide = jax.tree.map(merge, wide_h, leftover)
                 state = state._replace(
-                    pool=wide, spec=tstate.spec, counters=tstate.counters,
-                    sec=tstate.sec, key=tstate.key,
+                    pool=merge_fn(wide, tstate.pool), spec=tstate.spec,
+                    counters=tstate.counters, sec=tstate.sec, key=tstate.key,
                 )
         return state
 

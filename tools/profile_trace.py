@@ -39,6 +39,8 @@ def main():
         pallas_hot=os.environ.get("BENCH_PALLAS", "0") == "1",
         vmem_gather=os.environ.get("BENCH_VMEM_GATHER", "0") == "1",
         col_gather=os.environ.get("BENCH_COL_GATHER", "0") == "1",
+        mxu_extract=os.environ.get("BENCH_MXU", "1") == "1",
+        gather_split=int(os.environ.get("BENCH_GATHER_SPLIT", "4")),
     )
     sim = driver.Simulation(dump, photon_n=1_000_000, mass_unit=4e19,
                             config=cfg, emit_chunk=POOL * 8)
