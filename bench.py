@@ -92,6 +92,9 @@ def main():
         # MXU corner-row transpose: pure layout optimization (exact same
         # blend math; hot_step 1.75 -> 0.75 ms/iter at pool=65536 on v5e).
         mxu_extract=os.environ.get("BENCH_MXU", "1") == "1",
+        # The corner gather is DMA-latency-bound: 4 overlapped sub-gathers
+        # cost ~half of one pool-wide gather (tools/probe_overlap.py).
+        gather_split=int(os.environ.get("BENCH_GATHER_SPLIT", "4")),
         pallas_hot=os.environ.get("BENCH_PALLAS", "0") == "1",
         pallas_block=int(os.environ.get("BENCH_PALLAS_BLOCK", "2048")),
     )
@@ -123,13 +126,18 @@ def main():
     # answering UNAVAILABLE for minutes), but a fresh process connects fine.
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
     ckpt = os.path.join(cache_dir, "bench_ckpt.npz")
+    # Checkpoint cadence: each checkpoint device_gets the full engine state
+    # through the tunnel inside the measured window (~1 s each); every 4th
+    # wave bounds a crash's replay cost at ~4 waves while reclaiming that.
+    ck_every = int(os.environ.get("BENCH_CKPT_EVERY", "4"))
     try:
-        spec, stats = sim.run(checkpoint_path=ckpt)
+        spec, stats = sim.run(checkpoint_path=ckpt, checkpoint_every=ck_every)
     except ValueError:
         # stale checkpoint from a differently-configured run: discard
         if os.path.exists(ckpt):
             os.remove(ckpt)
-            spec, stats = sim.run(checkpoint_path=ckpt)
+            spec, stats = sim.run(checkpoint_path=ckpt,
+                                  checkpoint_every=ck_every)
         else:
             raise
     except jax.errors.JaxRuntimeError as err:

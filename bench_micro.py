@@ -67,6 +67,7 @@ def main():
         detached_events=os.environ.get("MICRO_DETACH", "0") == "1",
         col_gather=os.environ.get("MICRO_COL_GATHER", "0") == "1",
         mxu_extract=os.environ.get("MICRO_MXU", "0") == "1",
+        gather_split=int(os.environ.get("MICRO_GATHER_SPLIT", "1")),
     )
     # photon_n matches the macro bench so the zone sweep (and therefore the
     # regime at a given row offset) is the same plan the bench runs.

@@ -186,6 +186,15 @@ class EngineConfig(typing.NamedTuple):
     #   Physically exact (same values, same order); kept OFF as an A/B
     #   knob.  The layout tax must be attacked inside a fused kernel
     #   (pallas gather+blend), not by re-laying-out XLA inputs.
+    gather_split: int = 1  # issue the hot-step corner gather as this many
+    #   independent sub-gathers over pool slices.  The TPU row gather is
+    #   LATENCY-bound, not throughput-bound (tools/probe_overlap.py, real
+    #   v5e: one dependent 65536-index gather 0.553 ms; two independent
+    #   32768-index gathers 0.350 ms; four 16384-index 0.259 ms) — XLA
+    #   overlaps independent gathers' DMA streams but cannot split one.
+    #   The sub-gathers are exact (same rows, concatenated in order);
+    #   phases a/b stay pool-wide.  4 is the measured sweet spot at
+    #   pool=65536; 1 = the historical single gather.
     mxu_extract: bool = False  # transpose the gathered (N, 32) corner rows
     #   to (32, N) with ONE one-hot dot_general on the MXU before phase_b,
     #   handing the physics 32 lane-major component vectors (sublane
@@ -765,6 +774,22 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
     else:
         gather_fn = None
 
+    def _raw_gather(z):
+        """``corner_rows[z]`` issued as ``cfg.gather_split`` independent
+        sub-gathers over contiguous index slices.  The row gather is DMA-
+        latency-bound (EngineConfig.gather_split), so XLA overlapping the
+        sub-gathers' streams cuts its wall cost ~2x at pool=65536; the
+        concatenation restores the exact single-gather result."""
+        if gather_fn is not None:
+            return gather_fn(corner_rows, z)
+        s = max(1, int(cfg.gather_split))
+        n = z.shape[0]
+        if s == 1 or n % s:
+            return corner_rows[z]
+        h = n // s
+        return jnp.concatenate(
+            [corner_rows[z[c * h:(c + 1) * h]] for c in range(s)], axis=0)
+
     def eval_fluid_xy(x1, x2):
         """FluidC + metric tuple at arbitrary positions (one row gather)."""
         g7 = geometry.gcov_c(x1, x2, a, hs, r0)
@@ -1030,18 +1055,15 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
             rt = jnp.take(corner_rowsT, A["z"], axis=1)
             rows = tuple(rt[m] for m in range(corner_rowsT.shape[0]))
         elif cfg.mxu_extract:
-            raw = (corner_rows[A["z"]] if gather_fn is None
-                   else gather_fn(corner_rows, A["z"]))
+            raw = _raw_gather(A["z"])
             rt = lax.dot_general(
                 _EYE32.astype(raw.dtype), raw,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 precision=lax.Precision.HIGHEST,
             )  # (32, N): rt[k, n] == raw[n, k], exact (see mxu_extract)
             rows = tuple(rt[m] for m in range(32))
-        elif gather_fn is None:
-            rows = corner_rows[A["z"]]
         else:
-            rows = gather_fn(corner_rows, A["z"])
+            rows = _raw_gather(A["z"])
         with _phase_ctx():
             B = hot_phase_b(
                 rows, A["x"], A["k"], A["dkdlam"], A["e_0_s"], A["w"],
@@ -1298,9 +1320,11 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
             rec = rec & ~p.ev_pending
         valid, gi, sidx = compact_idx(rec, EV_K)
 
-        x2g, x3g = p.x[2][gi], p.x[3][gi]
-        w, e = p.w[gi], p.e[gi]
-        nsc = p.n_scatt[gi]
+        (x2g, x3g, w, e, nsc, x1ig, x2ig, tabs_g, tsc_g, ne0_g, te0_g,
+         b0_g, e0_g, occ_g, rp_g) = take_cols(
+            gi, [p.x[2], p.x[3], p.w, p.e, p.n_scatt, p.x1i, p.x2i,
+                 p.tau_abs, p.tau_scatt, p.n_e_0, p.theta_e_0, p.b_0,
+                 p.e_0, p.occupied, p.record_pending])
 
         dx2 = (mc.x_stop[2] - mc.x_start[2]) / (2.0 * consts.N_TH_BINS)
         mid = 0.5 * (mc.x_start[2] + mc.x_stop[2])
@@ -1326,15 +1350,15 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
                 w * e,
                 jnp.ones_like(w),
                 nsc.astype(dt),
-                w * p.x1i[gi],
-                w * p.x2i[gi] * p.x2i[gi],
+                w * x1ig,
+                w * x2ig * x2ig,
                 w * x3g * x3g,
-                w * p.tau_abs[gi],
-                w * p.tau_scatt[gi],
-                w * p.n_e_0[gi],
-                w * p.theta_e_0[gi],
-                w * p.b_0[gi],
-                w * p.e_0[gi],
+                w * tabs_g,
+                w * tsc_g,
+                w * ne0_g,
+                w * te0_g,
+                w * b0_g,
+                w * e0_g,
                 jnp.square(w * e),
             ],
             axis=-1,
@@ -1351,19 +1375,22 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
             # bin-range checks).
             max_tau_scatt=jnp.maximum(
                 counters.max_tau_scatt,
-                jnp.max(jnp.where(valid, p.tau_scatt[gi], 0.0)),
+                jnp.max(jnp.where(valid, tsc_g, 0.0)),
             ),
         )
         # Free the lanes processed this call (+ NaN-poisoned ones).
-        processed = jnp.zeros_like(rec).at[sidx].set(valid, mode="drop") | bad
+        occ_n, rp_n = put_cols(
+            sidx, [(p.occupied, occ_g & ~valid),
+                   (p.record_pending, rp_g & ~valid)])
         p = p._replace(
-            occupied=p.occupied & ~processed,
-            record_pending=p.record_pending & ~processed,
+            occupied=occ_n & ~bad,
+            record_pending=rp_n & ~bad,
         )
         if cfg.detached_events:
             # NaN-poisoned lanes freed above drop any pending event with
-            # them (recorded lanes have ~ev_pending by construction).
-            p = p._replace(ev_pending=p.ev_pending & ~processed)
+            # them (recorded lanes have ~ev_pending by construction, so
+            # only the pool-wide bad mask matters here).
+            p = p._replace(ev_pending=p.ev_pending & ~bad)
         return spec, counters, p
 
     # The periodic phase runs everything COMPACTED: each of its jobs
@@ -1391,16 +1418,80 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
 
         Returns (valid, gi, sidx): validity mask, gather indices (clamped
         for reads), scatter indices (pool-size padded for mode="drop").
+
+        Implemented as one sort of (lane | n_pool-sentinel) keys: a TPU
+        bitonic sort of 65536 s32 runs in ~30 us, while the previous
+        cumsum-rank + 1-D scatter formulation cost ~300 us per call in
+        the phase (three calls/phase, v5e trace 2026-08-20) — scatters
+        pay per-element transaction latency, sorts are VPU compute.
         """
-        rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
-        slot = jnp.where(mask & (rank < k), rank, k)
         lane = jax.lax.broadcasted_iota(jnp.int32, (cfg.n_pool,), 0)
-        idx = jnp.full((k,), cfg.n_pool, jnp.int32).at[slot].set(
-            lane, mode="drop")
+        keys = jnp.where(mask, lane, cfg.n_pool)
+        idx = jax.lax.sort(keys)[:k]
         valid = idx < cfg.n_pool
         gi = jnp.minimum(idx, cfg.n_pool - 1)
         sidx = jnp.where(valid, idx, cfg.n_pool)
         return valid, gi, sidx
+
+    # ------------------------------------------------------------------
+    # Packed compact-set access: the periodic phase's per-field 1-D
+    # gathers/scatters each cost ~120/190 us at 16k/32k indices on a v5e
+    # (per-element transaction latency, fully serialized in the trace),
+    # while a ROW gather of (K, 32) costs ~25 us — 128-byte rows amortize
+    # the DMA descriptors.  So: pack the fields into one (N, C) matrix
+    # (a single ~25 us fusion), move rows, and unpack columns with a
+    # one-hot MXU transpose (exact at Precision.HIGHEST, ~20 us; the
+    # same trick as EngineConfig.mxu_extract).  Bools ride as 0/1 and
+    # int32 values < 2^24 are exact in the f32 engine (all packed ints
+    # here are step/try/scatter counts and cell ids, far below that).
+    # ------------------------------------------------------------------
+    _eyes = {}
+
+    def _eye(c):
+        # Cached as a NUMPY constant: a jnp array materialized inside a
+        # while_loop body trace is a DynamicJaxprTracer, and caching one
+        # across traces is a tracer leak.  numpy is trace-agnostic; each
+        # trace re-embeds it as its own constant.
+        if c not in _eyes:
+            _eyes[c] = np.eye(c, dtype=dt)
+        return _eyes[c]
+
+    def _unpack(mat_t, dts):
+        """(C, M) matrix -> C per-field (M,) arrays with original dtypes."""
+        outs = []
+        for i, d in enumerate(dts):
+            col = mat_t[i]
+            if d == jnp.bool_:
+                outs.append(col > 0.5)
+            else:
+                outs.append(col.astype(d))
+        return outs
+
+    def take_cols(gi, arrs):
+        """[(N,)-arrays] gathered at gi via ONE packed row gather."""
+        dts = [a.dtype for a in arrs]
+        mat = jnp.stack([a.astype(dt) for a in arrs], axis=1)  # (N, C)
+        rows = mat[gi]  # (K, C) row gather
+        rt = lax.dot_general(
+            _eye(len(arrs)), rows, (((1,), (1,)), ((), ())),
+            precision=lax.Precision.HIGHEST)  # (C, K) exact transpose
+        return _unpack(rt, dts)
+
+    def put_cols(sidx, updates):
+        """[(dst (N,), val (K,))] -> new dsts via ONE packed row scatter.
+
+        dst[sidx[j]] = val[j]; sidx == n_pool rows drop.  The caller
+        pre-blends val with the gathered current value wherever a lane
+        must keep it (exactly like the old per-field put_where).
+        """
+        dts = [d.dtype for d, _ in updates]
+        stag = jnp.stack([d.astype(dt) for d, _ in updates], axis=1)
+        rows = jnp.stack([v.astype(dt) for _, v in updates], axis=1)
+        stag = stag.at[sidx].set(rows, mode="drop")
+        rt = lax.dot_general(
+            _eye(len(updates)), stag, (((1,), (1,)), ((), ())),
+            precision=lax.Precision.HIGHEST)  # (C, N)
+        return _unpack(rt, dts)
 
     def process_scatters(key, p: Pool, sec: SecBuf, counters):
         """Run deferred scatter events (compacted); pack secondaries.
@@ -1424,20 +1515,35 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
             ev = p.at_event
         valid, gi, sidx = compact_idx(ev, EV_K)
 
+        # One packed row gather for every compact-set field (take_cols).
+        base = [*p.x, *p.k, p.sec_w, p.w, p.ev_tries,
+                p.n_e_0, p.theta_e_0, p.e_0, p.n_scatt,
+                p.alive, p.occupied, p.at_event,
+                p.alpha_scatti, p.alpha_absi, p.bi]
         if cfg.detached_events:
-            reg_g = p.ev_pending[gi] & valid
-            xg = tuple(jnp.where(reg_g, p.ev_x[c][gi], p.x[c][gi])
-                       for c in range(4))
-            kg = tuple(jnp.where(reg_g, p.ev_k[c][gi], p.k[c][gi])
-                       for c in range(4))
-            secw_g = jnp.where(reg_g, p.ev_w[gi], p.sec_w[gi])
+            cols = take_cols(gi, [p.ev_pending, *p.ev_x, *p.ev_k, p.ev_w,
+                                  *base])
+            (evp_g, evx0, evx1, evx2, evx3, evk0, evk1, evk2, evk3,
+             evw_g) = cols[:10]
+            cols = cols[10:]
+        else:
+            cols = take_cols(gi, base)
+        (x0g, x1g, x2g, x3g, k0g, k1g, k2g, k3g, secw_g, wg, tries_g,
+         ne0_g, te0_g, e0_g, nsc_g, alive_g, occ_g, atev_g,
+         asc_g, aab_g, bi_g) = cols
+
+        if cfg.detached_events:
+            reg_g = evp_g & valid
+            pick = lambda a, b: jnp.where(reg_g, a, b)
+            xg = (pick(evx0, x0g), pick(evx1, x1g), pick(evx2, x2g),
+                  pick(evx3, x3g))
+            kg = (pick(evk0, k0g), pick(evk1, k1g), pick(evk2, k2g),
+                  pick(evk3, k3g))
+            secw_g = pick(evw_g, secw_g)
         else:
             reg_g = jnp.zeros_like(valid)
-            xg = (p.x[0][gi], p.x[1][gi], p.x[2][gi], p.x[3][gi])
-            kg = (p.k[0][gi], p.k[1][gi], p.k[2][gi], p.k[3][gi])
-            secw_g = p.sec_w[gi]
-        wg = p.w[gi]
-        tries_g = p.ev_tries[gi]
+            xg = (x0g, x1g, x2g, x3g)
+            kg = (k0g, k1g, k2g, k3g)
         force_g = valid & (tries_g >= 4)
 
         g7, fl = eval_fluid_xy(xg[1], xg[2])
@@ -1461,31 +1567,29 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         neg = nu < 0.0
         surv = valid & ~res.parent_die & ~reg_g
 
-        def put_where(dst, mask, val):
-            """dst[idx] = where(mask, val, dst[idx]) for the compact set."""
-            cur = dst[gi]
-            return dst.at[sidx].set(jnp.where(mask, val, cur), mode="drop")
-
-        lane_done = jnp.zeros_like(ev).at[sidx].set(valid & ~reg_g,
-                                                    mode="drop")
-        p = p._replace(
-            alpha_scatti=put_where(p.alpha_scatti, surv,
-                                   jnp.where(neg, 0.0, a_scf)),
-            alpha_absi=put_where(p.alpha_absi, surv,
-                                 jnp.where(neg, 0.0, a_abf)),
-            bi=put_where(p.bi, surv, bias_func(fl.theta_e, wg, counters)),
-            w=put_where(p.w, parent_die, jnp.zeros_like(wg)),
-            alive=p.alive & ~jnp.zeros_like(ev).at[sidx].set(parent_die, mode="drop"),
-            occupied=p.occupied & ~jnp.zeros_like(ev).at[sidx].set(parent_die, mode="drop"),
-            at_event=p.at_event & ~lane_done,
-            ev_tries=p.ev_tries.at[sidx].set(
-                jnp.where(defer_g, tries_g + 1,
-                          jnp.where(valid, 0, tries_g)), mode="drop"),
-        )
+        # One packed row scatter for every field update (put_cols); each
+        # val is the exact where(mask, new, gathered-current) blend the
+        # old per-field put_where computed.
+        blend = lambda m, v, cur: jnp.where(m, v, cur)
+        updates = [
+            (p.alpha_scatti, blend(surv, jnp.where(neg, 0.0, a_scf), asc_g)),
+            (p.alpha_absi, blend(surv, jnp.where(neg, 0.0, a_abf), aab_g)),
+            (p.bi, blend(surv, bias_func(fl.theta_e, wg, counters), bi_g)),
+            (p.w, blend(parent_die, jnp.zeros_like(wg), wg)),
+            (p.ev_tries, jnp.where(defer_g, tries_g + 1,
+                                   jnp.where(valid, 0, tries_g))),
+            (p.alive, alive_g & ~parent_die),
+            (p.occupied, occ_g & ~parent_die),
+            (p.at_event, atev_g & ~(valid & ~reg_g)),
+        ]
         if cfg.detached_events:
-            reg_done = jnp.zeros_like(ev).at[sidx].set(valid & reg_g,
-                                                       mode="drop")
-            p = p._replace(ev_pending=p.ev_pending & ~reg_done)
+            updates.append((p.ev_pending, evp_g & ~(valid & reg_g)))
+        news = put_cols(sidx, updates)
+        rep = dict(zip(("alpha_scatti", "alpha_absi", "bi", "w", "ev_tries",
+                        "alive", "occupied", "at_event"), news[:8]))
+        if cfg.detached_events:
+            rep["ev_pending"] = news[8]
+        p = p._replace(**rep)
 
         # Pack secondaries at sec.count + prefix ranks (one row scatter).
         sec_cap = sec.rows.shape[0]
@@ -1500,9 +1604,9 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
             [
                 xg[0], xg[1], xg[2], xg[3],
                 res.k_sec[0], res.k_sec[1], res.k_sec[2], res.k_sec[3],
-                secw_g, res.e_sec, res.l_sec, p.n_e_0[gi],
-                p.theta_e_0[gi], fl.b, p.e_0[gi],
-                (p.n_scatt[gi] + 1).astype(dt),
+                secw_g, res.e_sec, res.l_sec, ne0_g,
+                te0_g, fl.b, e0_g,
+                (nsc_g + 1).astype(dt),
             ],
             axis=-1,
         )
@@ -1557,12 +1661,20 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         )  # (EV_K, 16)
 
         # Scatter the compact rows to lane positions, then merge pool-wide
-        # with cheap elementwise selects.
-        load = jnp.zeros_like(free).at[sidx_g].set(load_g, mode="drop")
-        from_sec = jnp.zeros_like(free).at[sidx_g].set(from_sec_g, mode="drop")
-        from_bl = jnp.zeros_like(free).at[sidx_g].set(from_bl_g, mode="drop")
-        rows = jnp.zeros((cfg.n_pool, ROW_WIDTH), dt).at[sidx_g].set(
-            rows_g, mode="drop").T  # (16, N): components into the sublane dim
+        # with cheap elementwise selects.  The load-indicator mask rides
+        # as a 17th staging column so it costs no separate 1-D scatter.
+        stag = jnp.zeros((cfg.n_pool, ROW_WIDTH + 1), dt).at[sidx_g].set(
+            jnp.concatenate(
+                [rows_g, load_g[:, None].astype(dt)], axis=1),
+            mode="drop")
+        # (17, N) with components in the sublane dim.  One-hot MXU
+        # transpose instead of .T: XLA lowers the (N, 16) -> 16 x (N,)
+        # column extraction through a ~450 us lane-repack slice_reduce
+        # fusion (v5e trace); the MXU transpose is ~20 us and exact.
+        rows = lax.dot_general(
+            _eye(ROW_WIDTH + 1), stag, (((1,), (1,)), ((), ())),
+            precision=lax.Precision.HIGHEST)
+        load = rows[ROW_WIDTH] > 0.5
 
         x_new = tuple(rows[m] for m in range(0, 4))
         k_new = tuple(rows[m] for m in range(4, 8))
@@ -1629,8 +1741,12 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         """
         valid, sidx = fresh_c
         gi = jnp.minimum(sidx, cfg.n_pool - 1)
-        xg = (p.x[0][gi], p.x[1][gi], p.x[2][gi], p.x[3][gi])
-        kg = (p.k[0][gi], p.k[1][gi], p.k[2][gi], p.k[3][gi])
+        (x0g, x1g, x2g, x3g, k0g, k1g, k2g, k3g, wg,
+         dkc0, dkc1, dkc2, dkc3, asc_c, aab_c, bi_c, int_c) = take_cols(
+            gi, [*p.x, *p.k, p.w, *p.dkdlam,
+                 p.alpha_scatti, p.alpha_absi, p.bi, p.interacting])
+        xg = (x0g, x1g, x2g, x3g)
+        kg = (k0g, k1g, k2g, k3g)
 
         conn = geometry.connection_c(xg[1], xg[2], a, hs)
         dk0 = geometry.geodesic_rhs_c(conn, *kg)
@@ -1638,17 +1754,23 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         g7, fl = eval_fluid_xy(xg[1], xg[2])
         theta, nu, a_sc, a_ab = eval_alphas(kg, fl)
         inside = fl.n_e > 0.0
-        b0 = bias_func(fl.theta_e, p.w[gi], counters)
+        b0 = bias_func(fl.theta_e, wg, counters)
 
-        def put(dst, val):
-            return dst.at[sidx].set(jnp.where(valid, val, dst[gi]), mode="drop")
-
+        keep = lambda new, cur: jnp.where(valid, new, cur)
+        news = put_cols(sidx, [
+            (p.dkdlam[0], keep(dk0[0], dkc0)),
+            (p.dkdlam[1], keep(dk0[1], dkc1)),
+            (p.dkdlam[2], keep(dk0[2], dkc2)),
+            (p.dkdlam[3], keep(dk0[3], dkc3)),
+            (p.alpha_scatti, keep(jnp.where(inside, a_sc, 0.0), asc_c)),
+            (p.alpha_absi, keep(jnp.where(inside, a_ab, 0.0), aab_c)),
+            (p.bi, keep(jnp.where(inside, b0, 0.0), bi_c)),
+            (p.interacting, keep(inside, int_c)),
+        ])
         p = p._replace(
-            dkdlam=tuple(put(p.dkdlam[m], dk0[m]) for m in range(4)),
-            alpha_scatti=put(p.alpha_scatti, jnp.where(inside, a_sc, 0.0)),
-            alpha_absi=put(p.alpha_absi, jnp.where(inside, a_ab, 0.0)),
-            bi=put(p.bi, jnp.where(inside, b0, 0.0)),
-            interacting=put(p.interacting, inside),
+            dkdlam=tuple(news[:4]),
+            alpha_scatti=news[4], alpha_absi=news[5], bi=news[6],
+            interacting=news[7],
         )
         if cfg.fluid_cache:
             # Prime the corner-row cache so fresh lanes never hit the
