@@ -13,9 +13,13 @@ cross-section with the flux boost factor.
 
 Device lookup uses bilinear interpolation in log-log space with the same
 analytic fallbacks as the reference: Thomson for w*theta_e < 1e-6 and cold
-Klein-Nishina for theta_e below the table.  Deviation: for the (practically
-unreachable) out-of-table region the reference re-runs the numeric integral
-per call (hotcross.cpp:90-93); on device we clamp to the table edge instead.
+Klein-Nishina for theta_e below the table.  The host-side :func:`lookup_np`
+mirrors hotcross.cpp:81-106 exactly, INCLUDING the numeric-integral
+fallback for the out-of-table region (bit-pinned against the compiled
+reference in tests/test_vs_reference.py); the device ``lookup`` clamps to
+the table edge there instead — the region is unreachable for any photon
+the transport loop can carry (w spans 5e-7 eV .. 511 TeV), and a masked
+9600-point integral per lane would not fuse.
 """
 
 import math
@@ -102,6 +106,48 @@ def build_table():
     for j, lt in enumerate(l_t):
         table[:, j] = np.log10(total_compton_cross_num(w, 10.0**lt))
     return table
+
+
+def lookup_np(w, theta_e, table):
+    """EXACT host-side lookup mirroring hotcross.cpp:81-106 branch for
+    branch — including the numeric-integral fallback for the out-of-table
+    region (the device ``lookup`` clamps there instead; this is the
+    reference-semantics path used by the scalar oracle and the
+    vs-reference bit-pin tests).  Vectorized over ``w``/``theta_e``.
+    """
+    w = np.atleast_1d(np.asarray(w, np.float64))
+    theta_e = np.broadcast_to(
+        np.asarray(theta_e, np.float64), w.shape).copy()
+    table = np.asarray(table)
+    out = np.empty_like(w)
+
+    thomson = w * theta_e < 1.0e-6
+    out[thomson] = consts.SIGMA_THOMSON
+    cold = ~thomson & (theta_e < HC.MIN_T)
+    out[cold] = _hc_klein_nishina_np(w[cold]) * consts.SIGMA_THOMSON
+    numeric = ~thomson & ~cold & (
+        (w <= HC.MIN_W) | (w >= HC.MAX_W)
+        | (theta_e <= HC.MIN_T) | (theta_e >= HC.MAX_T)
+    )
+    for idx in np.nonzero(numeric)[0]:
+        out[idx] = total_compton_cross_num(w[idx], theta_e[idx])[0]
+
+    interp = ~thomson & ~cold & ~numeric
+    if np.any(interp):
+        l_w = (np.log10(w[interp]) - HC.L_MIN_W) / HC.D_L_W
+        l_t = (np.log10(theta_e[interp]) - HC.L_MIN_T) / HC.D_L_T
+        i = l_w.astype(np.int64)
+        j = l_t.astype(np.int64)
+        di = l_w - i
+        dj = l_t - j
+        l_cross = (
+            (1.0 - di) * (1.0 - dj) * table[i, j]
+            + di * (1.0 - dj) * table[i + 1, j]
+            + (1.0 - di) * dj * table[i, j + 1]
+            + di * dj * table[i + 1, j + 1]
+        )
+        out[interp] = 10.0**l_cross
+    return out
 
 
 # ---------------------------------------------------------------------------

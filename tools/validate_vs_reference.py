@@ -1,0 +1,212 @@
+#!/usr/bin/env python
+"""Three-way ground-truth spectrum comparison: REFERENCE BINARY vs native
+oracle vs batched engine, on the same dump and photon budget.
+
+The reference side is the ACTUAL reference implementation — its unmodified
+CPU sources compiled by ``tools/refbuild.sh`` (no Bazel/abseil; see
+tests/test_vs_reference.py for the per-function bit-pins).  Each tracker
+draws its own emission sample (the reference uses mt19937 streams that
+cannot be replayed into a batched engine), so agreement is statistical:
+total luminosity, recorded-count shape, and coarse-band spectra within the
+combined MC error at the given photon count.
+
+Usage:
+    python tools/validate_vs_reference.py [--photons 2000] [--n1 64 --n2 32]
+        [--mass-unit 4e19] [--json out.json] [--skip-oracle]
+        [--bench-profile]
+
+Writes one JSON blob with per-band ratios; the acceptance numbers are
+quoted in ACCURACY.md.
+"""
+
+import argparse
+import json
+import math
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def parse_spectrum_text(path, n_th=6, n_e=200):
+    """Parse the reference spectrum text format (harm_model.cpp:416-471):
+    per row: log10(E/mec2), then per theta-bin 6 columns
+    (nuLnu/Lsun, <tau_abs>, <tau_scatt>, <x1i>, rms x2i, rms x3f)."""
+    dat = np.loadtxt(path)
+    assert dat.shape == (n_e, 1 + 6 * n_th), dat.shape
+    log_e = dat[:, 0]
+    per = dat[:, 1:].reshape(n_e, n_th, 6)
+    return log_e, per  # nu_lnu = per[:, :, 0]
+
+
+def luminosity_from_text(per, mc, d_l_e):
+    """Total L/Lsun as report_spectrum computes it (nuLnu dOmega dlE)."""
+    from grmonty_tpu.ops import geometry
+
+    n_e, n_th = per.shape[0], per.shape[1]
+    dx2 = (mc.x_stop[2] - mc.x_start[2]) / (2 * n_th)
+    lum = 0.0
+    for j in range(n_th):
+        d_om = 2.0 * float(geometry.d_omega(j * dx2, (j + 1) * dx2,
+                                            mc.h_slope))
+        lum += float(per[:, j, 0].sum()) * d_om * d_l_e
+    return lum
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--photons", type=int, default=2000)
+    ap.add_argument("--n1", type=int, default=64)
+    ap.add_argument("--n2", type=int, default=32)
+    ap.add_argument("--mass-unit", type=float, default=4e19)
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--group", type=int, default=20,
+                    help="energy bins per comparison band")
+    ap.add_argument("--skip-oracle", action="store_true")
+    ap.add_argument("--bench-profile", action="store_true",
+                    help="engine runs the shipped bench profile (f32 + all "
+                    "deviation knobs) instead of reference semantics")
+    ap.add_argument("--ref-spec", default=None,
+                    help="reuse a previously-written reference spectrum "
+                    "file instead of re-running the reference binary")
+    args = ap.parse_args()
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+    from grmonty_tpu import consts
+    from grmonty_tpu.models import torus
+    from grmonty_tpu.transport import driver, engine
+    from grmonty_tpu.utils.logging import setup
+
+    setup("info")
+    cache = os.path.join(REPO, ".cache")
+    os.makedirs(cache, exist_ok=True)
+    dump = os.path.join(cache, f"torus_{args.n1}x{args.n2}_dump")
+    if not os.path.exists(dump):
+        torus.write_torus_dump(dump, n1=args.n1, n2=args.n2)
+
+    # --- reference binary -------------------------------------------------
+    ref_spec_path = args.ref_spec or os.path.join(
+        cache, f"refspec_{args.n1}x{args.n2}_{args.photons}")
+    t_ref = 0.0
+    if not os.path.exists(ref_spec_path):
+        build = subprocess.run([os.path.join(REPO, "tools", "refbuild.sh")],
+                               capture_output=True, text=True, check=True)
+        ref_bin = build.stdout.strip().splitlines()[0]
+        t0 = time.time()
+        subprocess.run(
+            [ref_bin, str(args.photons), repr(args.mass_unit), dump,
+             ref_spec_path],
+            check=True, timeout=24 * 3600)
+        t_ref = time.time() - t0
+
+    # --- engine -----------------------------------------------------------
+    if args.bench_profile:
+        from grmonty_tpu.transport import profiles
+
+        cfg = profiles.bench_config(pool=1024, env={})
+        cfg = cfg._replace(sec_cap=16384, max_outer=200000)
+        bk = profiles.bench_sim_kwargs(1024, env={})
+        sim_kw = dict(tail_grow_cap=bk["tail_grow_cap"],
+                      tail_stall_steps=bk["tail_stall_steps"])
+    else:
+        cfg = engine.EngineConfig(n_pool=1024, m_period=8, sec_cap=16384,
+                                  max_outer=200000, stall_steps=100000)
+        sim_kw = {}
+    sim = driver.Simulation(dump, photon_n=args.photons,
+                            mass_unit=args.mass_unit, config=cfg,
+                            emit_chunk=4096, warmup=256, **sim_kw)
+    t0 = time.time()
+    spec_e, stats_e = sim.run()
+    t_eng = time.time() - t0
+    eng_spec_path = os.path.join(cache, "engspec_vsref")
+    sim.report(eng_spec_path)
+
+    # --- native oracle ----------------------------------------------------
+    stats_o = None
+    if not args.skip_oracle:
+        sim_o = driver.Simulation(dump, photon_n=args.photons,
+                                  mass_unit=args.mass_unit, config=cfg,
+                                  emit_chunk=4096, warmup=256, **sim_kw)
+        t0 = time.time()
+        spec_o, stats_o = sim_o.run_native_cpu()
+        t_orc = time.time() - t0
+        orc_spec_path = os.path.join(cache, "orcspec_vsref")
+        sim_o.report(orc_spec_path, spec=spec_o)
+
+    # --- compare ----------------------------------------------------------
+    mc = sim.mc
+    d_l_e = consts.spectrum.D_L_E
+    _, per_r = parse_spectrum_text(ref_spec_path)
+    _, per_e = parse_spectrum_text(eng_spec_path)
+    lum_r = luminosity_from_text(per_r, mc, d_l_e)
+    lum_e = luminosity_from_text(per_e, mc, d_l_e)
+    out = {
+        "photons": args.photons,
+        "dump": os.path.basename(dump),
+        "mass_unit": args.mass_unit,
+        "ref_seconds": round(t_ref, 1),
+        "engine_seconds": round(t_eng, 1),
+        "lum_reference": lum_r,
+        "lum_engine": lum_e,
+        "lum_ratio_engine_ref": lum_e / lum_r,
+        "n_recorded_engine": stats_e["n_recorded"],
+        "bench_profile": bool(args.bench_profile),
+    }
+    if stats_o is not None:
+        _, per_o = parse_spectrum_text(orc_spec_path)
+        lum_o = luminosity_from_text(per_o, mc, d_l_e)
+        out["lum_oracle"] = lum_o
+        out["lum_ratio_oracle_ref"] = lum_o / lum_r
+        out["n_recorded_oracle"] = stats_o["n_recorded"]
+        out["oracle_seconds"] = round(t_orc, 1)
+
+    # Coarse-band theta-summed nuLnu ratios engine/reference, with the MC
+    # sigma of each band estimated from the ENGINE's sum((w e)^2) channel
+    # (the reference text carries no variance; both runs use the same
+    # photon count, so sigma_ref ~ sigma_eng and the combined sigma is
+    # sqrt(2) of it — good to the ~30% level, plenty for a parity gate).
+    NB, NE = consts.N_TH_BINS, consts.N_E_BINS
+    se = spec_e[: NB * NE].reshape(NB, NE, -1)
+    g = args.group
+    ng = NE // g
+    e_eng = per_e[:, :, 0].sum(1)[: ng * g].reshape(ng, g).sum(1)
+    e_ref = per_r[:, :, 0].sum(1)[: ng * g].reshape(ng, g).sum(1)
+    # de_dle-channel variance, mapped to the nuLnu text scale per band
+    de = se[:, :, 1].sum(0)[: ng * g].reshape(ng, g).sum(1)
+    ve = se[:, :, 13].sum(0)[: ng * g].reshape(ng, g).sum(1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rel_sig = np.sqrt(ve) / np.maximum(de, 1e-300)
+    bands = []
+    chi2 = 0.0
+    dof = 0
+    for i in range(ng):
+        if e_ref[i] <= 0 or e_eng[i] <= 0 or rel_sig[i] >= 0.5:
+            continue
+        sig = math.sqrt(2.0) * rel_sig[i]
+        z = (e_eng[i] / e_ref[i] - 1.0) / sig
+        chi2 += z * z
+        dof += 1
+        bands.append({"band": int(i), "ratio": float(e_eng[i] / e_ref[i]),
+                      "rel_sigma": float(sig)})
+    out["bands"] = bands
+    out["chi2_per_dof_vs_ref"] = chi2 / max(dof, 1)
+    out["dof"] = dof
+    print(json.dumps(out, indent=2))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
