@@ -43,8 +43,38 @@ def find_dump():
     return path
 
 
+def wait_device_healthy(tries=12, probe_timeout=120):
+    """Block until the accelerator answers a trivial transfer.
+
+    A PJRT client that connects WHILE the tunneled TPU worker restarts
+    hangs forever on its first transfer (observed twice in round 2: >15
+    min stuck in init, zero CPU).  Probing in a SUBPROCESS with a kill
+    timeout sidesteps the hang; once a probe succeeds, the real process
+    connects to a healthy worker.  No-op for local backends (probe just
+    succeeds instantly).
+    """
+    import subprocess
+
+    code = ("import jax, numpy as np; "
+            "jax.block_until_ready(jax.device_put(np.ones(8)))")
+    for i in range(tries):
+        try:
+            rc = subprocess.run([sys.executable, "-c", code],
+                                timeout=probe_timeout,
+                                capture_output=True).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
+            return
+        print(f"device probe {i + 1}/{tries} failed (rc={rc}); retrying",
+              file=sys.stderr)
+        time.sleep(20)
+    raise RuntimeError("accelerator never became healthy")
+
+
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    wait_device_healthy()
     import jax
     import jax.numpy as jnp
 
@@ -55,49 +85,20 @@ def main():
 
     photon_n = int(float(os.environ.get("BENCH_PHOTON_N", "1e6")))
     pool = int(os.environ.get("BENCH_POOL", "65536"))
-    dtype = jnp.float32 if os.environ.get("BENCH_DTYPE", "float32") == "float32" else jnp.float64
-    stall = int(os.environ.get("BENCH_STALL_STEPS", "150000"))
 
-    # Default configuration = the accuracy-gated accelerated profile (all
-    # deviations chi2-validated against the reference-semantics oracle,
-    # see ACCURACY.md):
-    #   detached_events + grow_cap=8 @ grow_rate=2^0.25, m_period=16,
-    #   ev_k=16384, refill_k=32768  ->  lum_ratio 0.979, chi2/dof 0.611 at
-    #   2000 photons.  Measured on a real v5e (5e5 photons, A/B series):
-    #   48.7k ph/s (reference semantics) -> 90.8k ph/s.
-    # BENCH_* env knobs restore any piece; BENCH_REFERENCE=1 restores the
-    # strict reference-semantics profile wholesale.
+    # Default configuration = the accuracy-gated accelerated profile
+    # (grmonty_tpu/transport/profiles.py — the SAME constructor the chi^2
+    # gate harness uses, so the shipped and the gated config cannot
+    # drift).  All deviations are chi2-validated against the reference-
+    # semantics oracle (ACCURACY.md).  BENCH_* env knobs restore any
+    # piece; BENCH_REFERENCE=1 restores strict reference semantics
+    # wholesale.
+    from grmonty_tpu.transport import profiles
+
     ref_mode = os.environ.get("BENCH_REFERENCE", "0") == "1"
-
-    def knob(name, default, refdefault):
-        return os.environ.get(name, refdefault if ref_mode else default)
-
-    cfg = engine.EngineConfig(
-        n_pool=pool,
-        m_period=int(knob("BENCH_PERIOD", "16", "32")),
-        sec_cap=pool,
-        stall_steps=stall,
-        dtype=dtype,
-        fp_iters=int(os.environ.get("BENCH_FP_ITERS", "2")),
-        # ev_k: measured on a real v5e at 3e5 photons (A/B, same driver):
-        # auto (n_pool/8 = 8192) starves refill against ~15k lane-deaths
-        # per period in the Compton-storm segment (occupancy ~43%);
-        # 16384 lifts occupancy to ~80% and 2.3x's the photon rate.
-        ev_k=int(os.environ.get("BENCH_EV_K", "16384")),
-        refill_k=int(knob("BENCH_REFILL_K", "32768", "0")),
-        fluid_cache=os.environ.get("BENCH_FLUID_CACHE", "0") == "1",
-        grow_cap=float(knob("BENCH_GROW_CAP", "8.0", "1.0")),
-        grow_rate=float(knob("BENCH_GROW_RATE", "1.1892", "2.0")),
-        detached_events=knob("BENCH_DETACH", "1", "0") == "1",
-        # MXU corner-row transpose: pure layout optimization (exact same
-        # blend math; hot_step 1.75 -> 0.75 ms/iter at pool=65536 on v5e).
-        mxu_extract=os.environ.get("BENCH_MXU", "1") == "1",
-        # The corner gather is DMA-latency-bound: 4 overlapped sub-gathers
-        # cost ~half of one pool-wide gather (tools/probe_overlap.py).
-        gather_split=int(os.environ.get("BENCH_GATHER_SPLIT", "4")),
-        pallas_hot=os.environ.get("BENCH_PALLAS", "0") == "1",
-        pallas_block=int(os.environ.get("BENCH_PALLAS_BLOCK", "2048")),
-    )
+    cfg = profiles.bench_config(pool=pool, ref_mode=ref_mode)
+    if os.environ.get("BENCH_FLUID_CACHE", "0") == "1":
+        cfg = cfg._replace(fluid_cache=True, derived_fluid=False)
     dump = find_dump()
     # Waves hand off with the pool still full: wave_tail_exit=pool means a
     # wave ends as soon as its backlog is consumed (occupancy never has to
@@ -105,20 +106,16 @@ def main():
     # tracking the pool down to a tail at sinking utilization.  One giant
     # wave (emit_chunk 1<<24) was tried and OOMs: the sampler's per-photon
     # (chunk, 4, 4) tetrad gathers pad (4,4)->(4,128) on TPU = 32 GiB.
+    # slice_iters=2048: telemetry costs ~2 tunneled roundtrips per slice
+    # (~60 ms each), so longer slices amortize them; fault-retry
+    # granularity stays bounded by the per-slice snapshot cadence.
+    # BENCH_MASS_UNIT=4e20 is the optically-thicker regime variant (more
+    # scattering per photon; VERDICT r1 #6 — the headline number should
+    # not only be measured in the easiest, thin regime).
+    mass_unit = float(os.environ.get("BENCH_MASS_UNIT", "4e19"))
     sim = driver.Simulation(
-        dump, photon_n=photon_n, mass_unit=4.0e19, config=cfg,
-        emit_chunk=int(os.environ.get("BENCH_EMIT_CHUNK", str(1 << 20))),
-        # 2048 iters/slice: telemetry costs ~2 tunneled roundtrips per
-        # slice (~60 ms each), so longer slices amortize them; fault-retry
-        # granularity stays bounded by the per-slice snapshot cadence.
-        slice_iters=int(os.environ.get("BENCH_SLICE", "2048")),
-        wave_tail_exit=pool,
-        tail_grow_cap=(float(os.environ["BENCH_TAIL_GROW"])
-                       if "BENCH_TAIL_GROW" in os.environ
-                       else None if ref_mode else 16.0),
-        tail_stall_steps=(int(os.environ["BENCH_TAIL_STALL"])
-                          if "BENCH_TAIL_STALL" in os.environ
-                          else None if ref_mode else 50000),
+        dump, photon_n=photon_n, mass_unit=mass_unit, config=cfg,
+        **profiles.bench_sim_kwargs(pool, ref_mode=ref_mode),
     )
     # Crash survival: checkpoint between waves, and on a fatal device error
     # re-exec this process to resume — an in-process PJRT client rebuild
@@ -159,6 +156,7 @@ def main():
         "vs_baseline": round(rate / REFERENCE_RATE, 3),
         "steps_per_photon": round(stats.get("steps_per_photon", 0.0), 1),
         "n_recorded": stats["n_recorded"],
+        "n_sec_drop": stats.get("n_secondary_dropped", 0),
         "util": [round(stats.get(k, 0.0), 3) for k in
                  ("util_occupied", "util_moving", "util_committed",
                   "util_parked")],

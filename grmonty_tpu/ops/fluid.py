@@ -174,6 +174,70 @@ def make_corner_table(prims, n1, n2):
     return np.concatenate([c00, c01, c10, c11], axis=1)  # (Z, 32)
 
 
+DERIVED_COMPS = 11  # n_e, theta_e, |B|, u_cov(4), b_cov(4)
+
+
+def make_derived_corner_table(prims, mc):
+    """Pack the DERIVED fluid state at the 4 bilinear corners per cell.
+
+    Hot-loop economics (TPU, measured): the transport interaction phase
+    (phase B) spends most of its time NOT on the gather but on what follows
+    it — ``gcov_c`` + ``gcon_c`` at the photon position plus the
+    ``_four_vectors_c`` u0/b^mu reconstruction, all transcendental/division
+    chains per lane per step.  The hot loop only ever consumes
+    (n_e, theta_e, |B|, u_cov, b_cov); those are smooth per-zone fields, so
+    precompute them at zone centers (exactly :func:`get_fluid_zone`, the
+    reference's zone-centred path harm_model.cpp:538-593) and blend the
+    DERIVED components bilinearly, eliminating the per-step metric pair and
+    reconstruction entirely.
+
+    Deviation from the reference (harm_model.cpp:595-671 interpolates the 8
+    primitives, then reconstructs at the photon position): blending derived
+    quantities differs from deriving blended ones at second order in the
+    grid spacing — same class as the geom-table fluid blend, pinned by
+    tests/test_fluid.py and chi2-gated like every other deviation knob.
+
+    Row z: the 11 components at zones z, z+1, z+n2, z+n2+1 (the same
+    corner layout as :func:`make_corner_table`).  Returns (n1*n2, 44) f64
+    numpy; built host-side (jitted once on the CPU backend).
+    """
+    import numpy as np
+
+    cpu = jax.devices("cpu")[0]
+
+    def build(p):
+        zone_x, g_cov_z, g_con_z, _ = precompute_zone_geometry(mc)
+        fz = get_fluid_zone(p, g_cov_z, g_con_z, mc)
+        z = mc.n1 * mc.n2
+        # [1] = theta_e * n_e: theta_e is recovered as a ratio of blends
+        # (engine.hot_phase_b derived branch) — exactly the reference's
+        # uu/rho ratio of interpolated primitives.
+        return jnp.concatenate(
+            [fz.n_e.reshape(z, 1), (fz.theta_e * fz.n_e).reshape(z, 1),
+             fz.b.reshape(z, 1), fz.u_cov.reshape(z, 4),
+             fz.b_cov.reshape(z, 4)], axis=1)  # (Z, 11)
+
+    with jax.default_device(cpu):
+        comp = np.asarray(jax.jit(build)(
+            jax.device_put(np.asarray(prims, np.float64), cpu)))
+    return pack_corner_rows(comp, mc.n2)
+
+
+def pack_corner_rows(comp, n2):
+    """(Z, C) per-zone components -> (Z, 4C) bilinear corner rows (the
+    make_corner_table layout: zones z, z+1, z+n2, z+n2+1)."""
+    import numpy as np
+
+    comp = np.asarray(comp)
+    zmax = comp.shape[0] - 1
+    z = np.arange(comp.shape[0])
+    c00 = comp[z]
+    c01 = comp[np.minimum(z + 1, zmax)]
+    c10 = comp[np.minimum(z + n2, zmax)]
+    c11 = comp[np.minimum(z + n2 + 1, zmax)]
+    return np.concatenate([c00, c01, c10, c11], axis=1)
+
+
 GEOM_WIDTH = 51  # per-zone geometry row: conn(40) + fluid(11)
 GEOM_STENCIL = 9  # 3x3 zone-center stencil packed per gatherable row
 GEOM_POLE_COMPS = (32, 35, 38)  # cot(theta)-divergent connection components,

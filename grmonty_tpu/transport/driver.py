@@ -129,7 +129,22 @@ class Simulation:
                     fluid_zone, g_cov_z, mc.b_unit
                 )
                 geom = fluid.make_geom_table(mc, fluid_zone)
+                z = mc.n1 * mc.n2
+                # [0]=n_e, [1]=theta_e*n_e: the hot loop recovers theta_e
+                # as a RATIO of blends — bitwise-equivalent to the
+                # reference's ratio of bilinearly-interpolated primitives
+                # (uu/rho).  Blending theta_e directly overestimates the
+                # temperature in low-density corners at the torus edge and,
+                # through bias ~ theta_e^2, TRIPLED the scattering load
+                # (measured: n_scatt_rec 21.3M vs 7.9M on the bench torus).
+                derived11 = jnp.concatenate(
+                    [fluid_zone.n_e.reshape(z, 1),
+                     (fluid_zone.theta_e * fluid_zone.n_e).reshape(z, 1),
+                     fluid_zone.b.reshape(z, 1),
+                     fluid_zone.u_cov.reshape(z, 4),
+                     fluid_zone.b_cov.reshape(z, 4)], axis=1)
                 return {
+                    "derived11": derived11,
                     "geom": geom.astype(jnp.float32),
                     "g_det_z": g_det_z,
                     "weights": weights,
@@ -232,12 +247,18 @@ class Simulation:
         self._f_cpu = cput(h["f_t"])
         self._k2_cpu = cput(h["k2_t"])
 
+        # Derived-fluid corner rows: packed host-side from the CACHED
+        # zone-state components (building them per-make_engine cost ~3 min
+        # of host jit per engine — incl. every tail-cascade engine).
+        self._derived_rows = (fluid.pack_corner_rows(h["derived11"], self.mc.n2)
+                              if self.cfg.derived_fluid else None)
         wave_cfg = self.cfg._replace(
             tail_exit=self._wave_tail_exit,
             max_outer=min(self.cfg.max_outer, self._slice_iters),
         )
         self.engine = engine_mod.make_engine(self.mc, self.tables, self.prims,
-                                             wave_cfg, geom_rows=self.geom)
+                                             wave_cfg, geom_rows=self.geom,
+                                             derived_rows=self._derived_rows)
         # donation disabled: faults the axon TPU runtime
         self._run_jit = jax.jit(self.engine["run"],
                                 compiler_options=engine_mod.compiler_options(self.cfg))
@@ -598,6 +619,22 @@ class Simulation:
             state = state._replace(it=jnp.zeros((), jnp.int32))
         return state
 
+    def _tail_sizes(self):
+        """Tail-cascade pool-size ladder.
+
+        A straggler cohort's wall time is (iterations the longest straggler
+        still needs) x (per-iteration cost at the stage width), so the
+        cascade must shrink FAST: the measured per-iteration cost is roughly
+        linear in width down to ~1k lanes and flat below (fusion launch
+        overhead).  A 4096-wide stage carrying ~300 near-photon-orbit
+        stragglers for 50k iterations costs ~10x what a 512-wide stage
+        would.  Ladder: full width (drains the bulk at best efficiency),
+        then 4096 / 1024 / 256, each exiting at the next stage's size.
+        """
+        ladder = [self.cfg.n_pool, 4096, 1024, 256]
+        return sorted({s for s in ladder if s <= self.cfg.n_pool},
+                      reverse=True)
+
     def _tail_engine(self, n_pool, exit_occ):
         key = (n_pool, exit_occ)
         if key not in self._tail_engines:
@@ -612,6 +649,12 @@ class Simulation:
                 n_pool=n_pool, tail_exit=exit_occ, m_period=64,
                 max_outer=min(self.cfg.max_outer, 64 * self._slice_iters),
                 pallas_hot=use_pallas,
+                # No backlog to load in the drain: light refill phases are
+                # pure overhead there (measured: the 4096-wide stage cost
+                # 1.5 ms/iter with refill_period=4 — full-width price at
+                # 1/16 width).  The every-64-iteration full phase still
+                # consumes secondaries and frees retired lanes.
+                refill_period=0,
                 grow_cap=(self.tail_grow_cap if self.tail_grow_cap is not None
                           else self.cfg.grow_cap),
                 stall_steps=(self.tail_stall_steps
@@ -619,7 +662,8 @@ class Simulation:
                              else self.cfg.stall_steps),
             )
             eng = engine_mod.make_engine(self.mc, self.tables, self.prims, cfg,
-                                         geom_rows=self.geom)
+                                         geom_rows=self.geom,
+                                         derived_rows=self._derived_rows)
             self._tail_engines[key] = (eng, jax.jit(
                 eng["run"], compiler_options=engine_mod.compiler_options(cfg)))
         return self._tail_engines[key]
@@ -709,10 +753,7 @@ class Simulation:
         that down to 256, and a 256 pool finishes the orbiters where each
         iteration is ~250x cheaper than a full-width one.
         """
-        stage1 = max(256, self.cfg.n_pool // 16)
-        sizes = [self.cfg.n_pool, stage1, 256]
-        sizes = sorted({s for s in sizes if s <= self.cfg.n_pool},
-                       reverse=True)
+        sizes = self._tail_sizes()
         zero_backlog = jnp.zeros((1, engine_mod.ROW_WIDTH), self.cfg.dtype)
         for si, n_t in enumerate(sizes):
             exit_occ = sizes[si + 1] if si + 1 < len(sizes) else 0
@@ -747,6 +788,49 @@ class Simulation:
                 )
         return state
 
+    def _run_pilot(self, state, plan, warm, t0):
+        """Bias-feedback warmup: track a STRIDED sample of the emission
+        plan until the pool drains, so the scattering-bias counters
+        (max_tau_scatt, avg n_scatt via n_recorded) equilibrate on
+        actually-RECORDED photons before the bulk waves launch.
+
+        Why strided + drained (round-2 measurement): a contiguous
+        [0, warm) pilot holds only innermost-zone photons, which die
+        absorbed long before reaching the recording radius (~100+ steps
+        away), and the old pilot exited after one 16-iteration superstep
+        with n_recorded == 0 — so the bulk waves launched with the bias at
+        its huge cold value and ran a Compton storm (round-2 log: 3.6M
+        surplus scatters, 7x the straggler count, -30% end-to-end rate).
+        The stride makes the pilot a representative zone mix whose
+        escapers record within a few hundred iterations.
+
+        The strided photons are re-emitted by their bulk waves later
+        (the reference's sequential warmup has no such overlap): a
+        warm/total ~ 1e-4 weight double-count, far below MC noise.
+        """
+        idx = np.asarray(np.linspace(0, plan.total - 1, warm), np.int64)
+        zi = plan.zone_i[idx]
+        zj = plan.zone_j[idx]
+        self.key, k = random.split(self.key)
+        batch = jax.device_get(self._sample_jit(
+            jax.device_put(np.asarray(k), self._cpu_dev),
+            jax.device_put(zi, self._cpu_dev),
+            jax.device_put(zj, self._cpu_dev)))
+        w = np.asarray(batch.w) * self.cfg.weight_scale
+        rows = engine_mod.pack_rows(batch._replace(w=w), self.cfg.dtype)
+        # Pad to the bulk-wave backlog shape: a (warm, 16) backlog is a new
+        # input shape for the jitted engine — one full recompile (~2 min
+        # through the tunnel) for the pilot alone.  n_valid stops the
+        # cursor at the real rows.
+        if rows.shape[0] < self.emit_chunk:
+            rows = np.concatenate(
+                [rows, np.zeros((self.emit_chunk - rows.shape[0],
+                                 engine_mod.ROW_WIDTH), rows.dtype)])
+        state = state._replace(backlog_pos=jnp.zeros((), jnp.int32))
+        log.info("pilot wave: %d strided photons (bias warmup)", warm)
+        return self._run_wave(state, rows, t0, -1, 0, warm,
+                              tail_exit=max(16, warm // 64), n_valid=warm)
+
     def _warm_compile(self, plan):
         """Execute every jitted program the run will need, once, on dummy
         state — so TPU compiles (minutes each through a tunneled runtime;
@@ -765,10 +849,8 @@ class Simulation:
         jax.block_until_ready(
             self._run_jit(state, zero_backlog, np.int32(0), np.int32(0)))
         # The tail-drain cascade engines (driver._drain_tail stage sizes).
-        stage1 = max(256, self.cfg.n_pool // 16)
         one_row = jnp.zeros((1, engine_mod.ROW_WIDTH), self.cfg.dtype)
-        sizes = sorted({s for s in (self.cfg.n_pool, stage1, 256)
-                        if s <= self.cfg.n_pool}, reverse=True)
+        sizes = self._tail_sizes()
         for si, n_t in enumerate(sizes):
             exit_occ = sizes[si + 1] if si + 1 < len(sizes) else 0
             eng, run = self._tail_engine(n_t, exit_occ)
@@ -831,29 +913,26 @@ class Simulation:
         state = self.engine["fresh_state"](k_eng)
         self._warm_compile(plan)
         resume_waves = 0
+        resumed = False
         if checkpoint_path and os.path.exists(checkpoint_path):
             resume_waves, state = self.load_checkpoint(checkpoint_path, state)
+            resumed = True
             log.info("Resuming from %s: %d wave(s) already done",
                      checkpoint_path, resume_waves)
         t0 = time.time()
         compile_s = t0 - t_init
 
         chunk = self.emit_chunk
-        # Warmup: a small pilot wave equilibrates the bias-feedback counters
-        # (max_tau_scatt, avg_num_scatt) before the bulk waves.  The
-        # sequential reference gets this for free (its counters warm within
-        # the first few recursively-tracked photons); launching the full
-        # batch cold would run the scattering bias at its huge initial
-        # value and explode the secondary population.
+        # Warmup: a strided pilot wave equilibrates the bias-feedback
+        # counters (max_tau_scatt, avg_num_scatt) before the bulk waves
+        # (see _run_pilot).  The sequential reference gets this for free
+        # (its counters warm within the first few hundred recursively-
+        # tracked photons); launching the full batch cold runs the
+        # scattering bias at its huge initial value and explodes the
+        # secondary population.
         warm = min(self.warmup, plan.total)
-        starts = [0]
-        if 0 < warm < plan.total:
-            starts.append(warm)
-        waves = []
-        for i, s in enumerate(starts):
-            end = starts[i + 1] if i + 1 < len(starts) else plan.total
-            for cs in range(s, end, chunk):
-                waves.append((cs, min(chunk, end - cs)))
+        waves = [(cs, min(chunk, plan.total - cs))
+                 for cs in range(0, plan.total, chunk)]
         # Emission placement: on an accelerator backend the sampler runs ON
         # the device (see emit_packed_dev) — the production host has ~1 core
         # and host sampling left the accelerator idle ~85% of each wave.
@@ -862,15 +941,15 @@ class Simulation:
         # (GRMONTY_EMIT_OVERLAP=0 serializes it).
         emit_dev = (jax.default_backend() != "cpu"
                     and os.environ.get("GRMONTY_EMIT_DEVICE", "1") == "1")
-        # Per-wave exit occupancy: the pilot wave (and the final wave, at
-        # full width where iterations are cheapest per lane) drain so the
-        # bias counters warm / the tail cascade starts small; interior
-        # waves use wave_tail_exit (n_pool = hand off with the pool full,
-        # so interior boundaries never track at sinking occupancy).
+        # Per-wave exit occupancy: the final wave (at full width, where
+        # iterations are cheapest per lane) drains so the tail cascade
+        # starts small; interior waves use wave_tail_exit (n_pool = hand
+        # off with the pool full, so interior boundaries never track at
+        # sinking occupancy).
         drain_occ = max(1, self.cfg.n_pool // 16)
 
         def wave_te(c):
-            if c + 1 == len(waves) or (c == 0 and len(starts) > 1):
+            if c + 1 == len(waves):
                 return min(drain_occ, self._wave_tail_exit)
             return self._wave_tail_exit
 
@@ -882,6 +961,15 @@ class Simulation:
         def maybe_checkpoint(c, state):
             if checkpoint_path and (c + 1) % checkpoint_every == 0:
                 self.save_checkpoint(checkpoint_path, c + 1, state)
+
+        if not resumed and warm > 0:
+            state = self._run_pilot(state, plan, warm, t0)
+            # Checkpoint the warmed counters: a crash in wave 1 must
+            # resume AFTER the pilot (resuming with waves_done=0 skips it
+            # — the saved key is already advanced past the pilot split,
+            # so re-running it would break bit-identical replay).
+            if checkpoint_path:
+                self.save_checkpoint(checkpoint_path, 0, state)
 
         if emit_dev:
             for c, (start, limit) in enumerate(waves):

@@ -145,6 +145,37 @@ class EngineConfig(typing.NamedTuple):
     #   events-per-phase (fast-retiring regimes: grow_cap > 1 and/or
     #   detached_events) the pool can be kept full by raising refill_k
     #   alone instead of paying a wider event phase.
+    bias_ema: float = 0.0  # EMA weight for the scattering-bias feedback's
+    #   avg-scatters-per-recorded statistic.  0 (default) = the reference's
+    #   cumulative n_scatt/n_recorded ratio (harm_model.cpp:1391-1404).
+    #   >0: avg is an exponential moving average of the per-full-phase
+    #   MARGINAL ratio.  Why: the cumulative ratio relaxes from the cold-
+    #   start Compton storm like 1/t, so the storm's history depresses the
+    #   bias for millions of subsequent records — measured on the bench
+    #   torus, total scattering work varies 2.3x run-to-run depending on
+    #   the storm's random magnitude (n_scatt_rec 5.9M vs 13.8M at
+    #   identical physics).  The EMA tracks the current-regime equilibrium
+    #   within ~1/alpha full phases and forgets the transient; the bias is
+    #   a variance-reduction knob (the estimator is unbiased in it), and
+    #   the deviation is chi2-gated like every other knob.
+    light_k: int = 0  # compacted working-set width of the LIGHT phases
+    #   (record + refill widths both); 0 = inherit ev_k/refill_k.  The
+    #   light phase only needs to absorb deaths since the last maintenance
+    #   point (~n_pool * refill_period / steps_per_photon lanes), so its
+    #   gathers/scatters can run far narrower than the full phase's.
+    refill_period: int = 0  # cadence (hot iterations) of LIGHT record+refill
+    #   phases run between the full periodic phases.  0 = off (legacy: all
+    #   pool maintenance happens every m_period iterations).  Rationale
+    #   (Little's law, measured in BENCH_r01): a lane whose photon retires
+    #   mid-period idles until the next periodic phase — with m_period=16
+    #   and ~28 steps/photon mean lifetime that is ~30% of all occupied
+    #   lane-slots spent holding finished photons, and pool occupancy saws
+    #   between full and ~55%.  A light phase (spectrum record + free dead
+    #   lanes + refill + init; NO scatter-event samplers, NO extra RNG
+    #   splits) costs ~1/6 of a hot iteration and keeps the pool full.
+    #   Scheduling-only deviation: photons' physics is untouched (same
+    #   trajectories modulo RNG stream assignment); chi2-gated like every
+    #   other knob.  Must divide m_period; 4 is the measured sweet spot.
     grow_cap: float = 1.0  # upper clamp on the per-lane adaptive step
     #   factor dl_shrink.  1.0 (default) = reference semantics: a lane's
     #   step never exceeds the nominal step_size (harm_model.cpp:1620-30).
@@ -155,6 +186,15 @@ class EngineConfig(typing.NamedTuple):
     #   are clamped to the remaining re-push length so scatter events still
     #   land exactly.  Validate spectrum drift (validate_accuracy) before
     #   adopting a value.
+    derived_fluid: bool = False  # hot-step interaction phase gathers the
+    #   DERIVED fluid state (n_e, theta_e, |B|, u_cov, b_cov — 11 comps x 4
+    #   corners, fluid.make_derived_corner_table) instead of the 8 raw
+    #   primitives, and blends those bilinearly.  Removes the per-step
+    #   gcov_c + gcon_c metric pair and the _four_vectors_c u0/b^mu
+    #   reconstruction from phase B entirely (the gather itself costs the
+    #   same: TPU row gathers are per-index latency-bound).  Second-order
+    #   interpolation deviation (blend-of-derived vs derive-of-blended);
+    #   chi2-gated.  XLA shared hot path only.
     detached_events: bool = False  # parent photons continue IMMEDIATELY
     #   after a scatter event instead of parking at_event until the next
     #   periodic phase (an average m_period/2-iteration stall per event).
@@ -327,6 +367,12 @@ class Counters(typing.NamedTuple):
     ls_moving: jnp.ndarray  # int64: sum of moving lanes
     ls_committed: jnp.ndarray  # int64: sum of committed (useful) pushes
     ls_parked: jnp.ndarray  # int64: sum of at_event lanes (scatter parking)
+    # EMA bias feedback (EngineConfig.bias_ema > 0): the windowed
+    # avg-scatters-per-recorded estimate and the marks of the cumulative
+    # counters at the last EMA update (to form marginal deltas).
+    avg_ema: jnp.ndarray  # engine-dtype scalar
+    ema_scatt_mark: jnp.ndarray  # int64
+    ema_rec_mark: jnp.ndarray  # int64
 
 
 class State(typing.NamedTuple):
@@ -393,6 +439,7 @@ def init_counters(max_tau_scatt_init, dtype):
         n_retired=zi(), n_steps_retired=zi(),
         ls_iters=zi(), ls_occupied=zi(), ls_moving=zi(), ls_committed=zi(),
         ls_parked=zi(),
+        avg_ema=jnp.zeros((), dtype), ema_scatt_mark=zi(), ema_rec_mark=zi(),
     )
 
 
@@ -598,7 +645,8 @@ def hot_phase_b(rows, x, k, dkdlam, e_0_s, w, alpha_scatti, alpha_absi, bi,
                 n_step, alive,
                 x_pre, k_pre, dk_pre, e0s_pre,
                 seg, commit, moving, was_pend, stopped, u_x1, bias_scale,
-                mc, hc_coeffs, k2_coeffs, weight_min, stall_steps):
+                mc, hc_coeffs, k2_coeffs, weight_min, stall_steps,
+                derived=False):
     """Post-gather half of the hot iteration (harm_model.cpp:937-1056).
 
     ``rows``: the gathered bilinear corner rows at the new position — a
@@ -634,18 +682,33 @@ def hot_phase_b(rows, x, k, dkdlam, e_0_s, w, alpha_scatti, alpha_absi, bi,
     c01 = (1.0 - del_i) * del_j
     c10 = del_i * (1.0 - del_j)
     c11 = del_i * del_j
+    nc = 11 if derived else 8
     pr = [
-        col(m) * c00 + col(8 + m) * c01
-        + col(16 + m) * c10 + col(24 + m) * c11
-        for m in range(8)
+        col(m) * c00 + col(nc + m) * c01
+        + col(2 * nc + m) * c10 + col(3 * nc + m) * c11
+        for m in range(nc)
     ]
-    rho, uu = pr[0], pr[1]
-    n_e = jnp.where(inside, rho * mc.n_e_unit, 0.0)
-    theta_e = uu / rho * mc.theta_e_unit
-    g7 = geometry.gcov_c(x1, x2, mc.a, mc.h_slope, mc.r_0)
-    gc6 = geometry.gcon_c(x1, x2, mc.a, mc.h_slope, mc.r_0)
-    _, u_cov, _, b_cov, b_mag = fluid._four_vectors_c(
-        pr[2], pr[3], pr[4], pr[5], pr[6], pr[7], g7, gc6, mc)
+    if derived:
+        # Corner rows carry the derived state (EngineConfig.derived_fluid /
+        # fluid.make_derived_corner_table): no metric pair, no u0/b^mu
+        # reconstruction per step.  Row layout: [0]=n_e, [1]=theta_e*n_e —
+        # theta_e comes out as a ratio of blends, matching the reference's
+        # uu/rho ratio of interpolated primitives exactly (blending
+        # theta_e directly inflates it at the torus edge and, via
+        # bias ~ theta_e^2, tripled the scattering load).
+        n_e = jnp.where(inside, pr[0], 0.0)
+        theta_e = pr[1] / pr[0]
+        b_mag = pr[2]
+        u_cov = (pr[3], pr[4], pr[5], pr[6])
+        b_cov = (pr[7], pr[8], pr[9], pr[10])
+    else:
+        rho, uu = pr[0], pr[1]
+        n_e = jnp.where(inside, rho * mc.n_e_unit, 0.0)
+        theta_e = uu / rho * mc.theta_e_unit
+        g7 = geometry.gcov_c(x1, x2, mc.a, mc.h_slope, mc.r_0)
+        gc6 = geometry.gcon_c(x1, x2, mc.a, mc.h_slope, mc.r_0)
+        _, u_cov, _, b_cov, b_mag = fluid._four_vectors_c(
+            pr[2], pr[3], pr[4], pr[5], pr[6], pr[7], g7, gc6, mc)
 
     bound = n_e == 0.0
     sin_th, nu = radiation.kinematics_sin_c(k, u_cov, b_cov, b_mag, mc.b_unit)
@@ -729,7 +792,7 @@ def hot_phase_b(rows, x, k, dkdlam, e_0_s, w, alpha_scatti, alpha_absi, bi,
 
 
 def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
-                geom_rows=None):
+                geom_rows=None, derived_rows=None):
     """Build the jitted transport step functions for one dump.
 
     ``prims``: (8, n1, n2) primitives on device.  ``geom_rows``: the
@@ -760,6 +823,23 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
     corner_rows = jnp.asarray(corner_np, dt)
     # Transposed copy for the hot step's column gather (col_gather).
     corner_rowsT = jnp.asarray(np.ascontiguousarray(corner_np.T), dt)
+    # Hot-step table: the derived-fluid rows replace the primitive corners
+    # in the hot iteration only; the periodic-phase physics (scatter
+    # kinematics, init) keeps the exact primitive path.
+    if cfg.derived_fluid:
+        if (cfg.col_gather or cfg.interp_geom or cfg.fluid_cache
+                or cfg.pallas_hot or dbg):
+            raise ValueError("derived_fluid supports only the shared XLA "
+                             "hot path")
+        if derived_rows is None:  # standalone fallback (tests); the driver
+            # passes the rows packed from its cached zone-state products
+            derived_rows = fluid.make_derived_corner_table(
+                np.asarray(prims), mc)
+        hot_tab = jnp.asarray(derived_rows, dt)
+    else:
+        hot_tab = corner_rows
+    hot_w = int(hot_tab.shape[1])
+    _eye_hot = np.eye(hot_w, dtype=np.dtype(dt))
 
     # ------------------------------------------------------------------
     # physics helpers (component layer)
@@ -774,21 +854,24 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
     else:
         gather_fn = None
 
-    def _raw_gather(z):
-        """``corner_rows[z]`` issued as ``cfg.gather_split`` independent
-        sub-gathers over contiguous index slices.  The row gather is DMA-
-        latency-bound (EngineConfig.gather_split), so XLA overlapping the
-        sub-gathers' streams cuts its wall cost ~2x at pool=65536; the
-        concatenation restores the exact single-gather result."""
-        if gather_fn is not None:
-            return gather_fn(corner_rows, z)
+    def _raw_gather(z, tab=None):
+        """``tab[z]`` (default: the hot-step table) issued as
+        ``cfg.gather_split`` independent sub-gathers over contiguous index
+        slices.  The row gather is DMA-latency-bound
+        (EngineConfig.gather_split), so XLA overlapping the sub-gathers'
+        streams cuts its wall cost ~2x at pool=65536; the concatenation
+        restores the exact single-gather result."""
+        if tab is None:
+            tab = hot_tab
+        if gather_fn is not None and tab is corner_rows:
+            return gather_fn(tab, z)
         s = max(1, int(cfg.gather_split))
         n = z.shape[0]
         if s == 1 or n % s:
-            return corner_rows[z]
+            return tab[z]
         h = n // s
         return jnp.concatenate(
-            [corner_rows[z[c * h:(c + 1) * h]] for c in range(s)], axis=0)
+            [tab[z[c * h:(c + 1) * h]] for c in range(s)], axis=0)
 
     def eval_fluid_xy(x1, x2):
         """FluidC + metric tuple at arbitrary positions (one row gather)."""
@@ -801,6 +884,36 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
     def eval_fluid(p: Pool):
         """FluidC + metric tuple at the pool positions (the hot-step gather)."""
         return eval_fluid_xy(p.x[1], p.x[2])
+
+    def eval_fluid_hot(x1, x2):
+        """FluidC via the HOT-path table (derived rows when enabled) — for
+        consumers needing only (n_e, theta_e, b, u_cov, b_cov), e.g. the
+        fresh-lane opacity init: skips the per-lane metric pair and
+        four-vector reconstruction entirely."""
+        if not cfg.derived_fluid:
+            _, fl = eval_fluid_xy(x1, x2)
+            return fl
+        ii, jj, di, dj = geometry.x_to_ij_c(
+            x1, x2, mc.x_start, mc.dx, (mc.n1, mc.n2))
+        z = (ii * mc.n2 + jj).astype(jnp.int32)
+        rows = hot_tab[z]
+        rt = lax.dot_general(_eye_hot, rows, (((1,), (1,)), ((), ())),
+                             precision=lax.Precision.HIGHEST)
+        c00 = (1.0 - di) * (1.0 - dj)
+        c01 = (1.0 - di) * dj
+        c10 = di * (1.0 - dj)
+        c11 = di * dj
+        pr = [rt[m] * c00 + rt[11 + m] * c01 + rt[22 + m] * c10
+              + rt[33 + m] * c11 for m in range(11)]
+        inside = (
+            (x1 >= mc.x_start[1]) & (x1 <= mc.x_stop[1])
+            & (x2 >= mc.x_start[2]) & (x2 <= mc.x_stop[2])
+        )
+        return fluid.FluidC(
+            n_e=jnp.where(inside, pr[0], 0.0), theta_e=pr[1] / pr[0],
+            b=pr[2], u_con=None, u_cov=(pr[3], pr[4], pr[5], pr[6]),
+            b_con=None, b_cov=(pr[7], pr[8], pr[9], pr[10]),
+        )
 
     def eval_alphas(k, fl):
         """(sin theta, nu, alpha_scatt, alpha_abs) from component tuples.
@@ -816,12 +929,20 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
                                              sin_th, k2_coeffs)
         return sin_th, nu, a_sc, a_ab
 
+    def _avg_scatt(counters):
+        """avg scatters per recorded photon, for the bias feedback: the
+        reference's cumulative ratio, or the windowed EMA
+        (EngineConfig.bias_ema)."""
+        if cfg.bias_ema > 0.0:
+            return counters.avg_ema
+        return counters.n_scatt_rec.astype(dt) / (
+            counters.n_recorded.astype(dt) + 1.0
+        )
+
     def bias_func(theta_e, w, counters):
         """Scattering bias (harm_model.cpp:1391-1404) from loop-carried counters."""
         cap = 0.5 * w / weight_min
-        avg_scatt = counters.n_scatt_rec.astype(dt) / (
-            counters.n_recorded.astype(dt) + 1.0
-        )
+        avg_scatt = _avg_scatt(counters)
         bias = (
             100.0
             * theta_e
@@ -1020,9 +1141,8 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
     _shared_hot = not cfg.interp_geom and not cfg.fluid_cache and not dbg
 
     def _bias_scale(counters):
-        avg_scatt = counters.n_scatt_rec.astype(dt) / (
-            counters.n_recorded.astype(dt) + 1.0)
-        return 100.0 / (mc.bias_norm * counters.max_tau_scatt * (avg_scatt + 2.0))
+        return 100.0 / (
+            mc.bias_norm * counters.max_tau_scatt * (_avg_scatt(counters) + 2.0))
 
     # For the f32 engine, trace the shared phases with x64 disabled so
     # python-float literals bind as f32 — exactly how the Pallas kernels
@@ -1057,11 +1177,11 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         elif cfg.mxu_extract:
             raw = _raw_gather(A["z"])
             rt = lax.dot_general(
-                _EYE32.astype(raw.dtype), raw,
+                _eye_hot, raw,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 precision=lax.Precision.HIGHEST,
-            )  # (32, N): rt[k, n] == raw[n, k], exact (see mxu_extract)
-            rows = tuple(rt[m] for m in range(32))
+            )  # (W, N): rt[k, n] == raw[n, k], exact (see mxu_extract)
+            rows = tuple(rt[m] for m in range(hot_w))
         else:
             rows = _raw_gather(A["z"])
         with _phase_ctx():
@@ -1074,6 +1194,7 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
                 A["seg"], A["commit"], A["moving"], A["was_pend"], A["stopped"],
                 u_x1, _bias_scale(state.counters).astype(dt),
                 mc, hc_coeffs, k2_coeffs, weight_min, cfg.stall_steps,
+                derived=cfg.derived_fluid,
             )
         p = p._replace(
             x=B["x"], k=B["k"],
@@ -1303,13 +1424,14 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
     # ------------------------------------------------------------------
     # periodic phase: scatter events, record, refill, init
     # ------------------------------------------------------------------
-    def spectrum_add(spec, counters, p: Pool):
+    def spectrum_add(spec, counters, p: Pool, width=None):
         """Record escaped photons (harm_model.cpp:1291-1335), compacted.
 
-        Up to EV_K pending lanes are recorded per call; the rest stay
-        record_pending for the next phase (frozen, semantically free — see
-        the compaction note above).  NaN-poisoned pending lanes are freed
-        unrecorded (the reference's NaN validation, harm_model.cpp:895-900).
+        Up to ``width`` (default EV_K) pending lanes are recorded per call;
+        the rest stay record_pending for the next phase (frozen,
+        semantically free — see the compaction note above).  NaN-poisoned
+        pending lanes are freed unrecorded (the reference's NaN
+        validation, harm_model.cpp:895-900).
         """
         bad = p.record_pending & (jnp.isnan(p.w) | jnp.isnan(p.e))
         rec = p.record_pending & ~bad
@@ -1318,7 +1440,7 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
             # constants feed the secondary row); it records next phase,
             # after process_scatters consumes the registers.
             rec = rec & ~p.ev_pending
-        valid, gi, sidx = compact_idx(rec, EV_K)
+        valid, gi, sidx = compact_idx(rec, EV_K if width is None else width)
 
         (x2g, x3g, w, e, nsc, x1ig, x2ig, tabs_g, tsc_g, ne0_g, te0_g,
          b0_g, e0_g, occ_g, rp_g) = take_cols(
@@ -1514,6 +1636,17 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         else:
             ev = p.at_event
         valid, gi, sidx = compact_idx(ev, EV_K)
+        # Nursery backpressure: never sample more events than the
+        # secondary ring has room for — the surplus events stay pending
+        # (registers/parked) and are consumed on later phases once refill
+        # drains the ring.  Physics-preserving replacement for sampling
+        # and then DROPPING secondaries at the ring cap (n_sec_drop was
+        # 0.25% of recorded in the storm segment without this; the
+        # reference never drops — its recursion applies the same
+        # backpressure through the call stack).
+        room = jnp.maximum(sec.rows.shape[0] - sec.count, 0)
+        rank_e = jax.lax.broadcasted_iota(jnp.int32, (EV_K,), 0)
+        valid = valid & (rank_e < room)
 
         # One packed row gather for every compact-set field (take_cols).
         base = [*p.x, *p.k, p.sec_w, p.w, p.ev_tries,
@@ -1620,7 +1753,7 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         return p, sec, counters
 
     def refill(p: Pool, sec: SecBuf, backlog_rows, backlog_pos, counters,
-               n_valid=None):
+               n_valid=None, width=None, use_sec=True):
         """Fill free slots: secondaries (LIFO) first, then backlog primaries.
 
         Two packed-row gathers replace the 13 per-field gathers of a naive
@@ -1638,15 +1771,16 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         # pilot wave burned ~26 s chewing ~1M pad rows for 1024 photons).
         nv = t_total if n_valid is None else n_valid
 
-        # Cap loads per phase at RF_K so the fresh-lane init can run
-        # compacted (init_fresh); in steady state retirements per phase are
-        # far below the cap, and at wave start the pool just ramps over
-        # n_pool/RF_K phases instead of one.
-        valid_g, gi_g, sidx_g = compact_idx(free, RF_K)
+        # Cap loads per phase at the refill width so the fresh-lane init
+        # can run compacted (init_fresh); in steady state retirements per
+        # phase are far below the cap, and at wave start the pool just
+        # ramps over n_pool/width phases instead of one.
+        k_w = RF_K if width is None else width
+        valid_g, gi_g, sidx_g = compact_idx(free, k_w)
         # compact_idx keeps lane order, so working-set entry j is the j-th
         # free lane: its rank among free slots is j.
-        rank_g = jax.lax.broadcasted_iota(jnp.int32, (RF_K,), 0)
-        n_sec = sec.count
+        rank_g = jax.lax.broadcasted_iota(jnp.int32, (k_w,), 0)
+        n_sec = sec.count if use_sec else jnp.zeros((), jnp.int32)
         from_sec_g = valid_g & (rank_g < n_sec)
         sec_idx_g = jnp.clip(n_sec - 1 - rank_g, 0, sec.rows.shape[0] - 1)
 
@@ -1657,8 +1791,9 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         load_g = from_sec_g | from_bl_g
 
         rows_g = jnp.where(
-            from_sec_g[:, None], sec.rows[sec_idx_g], backlog_rows[bl_idx_g]
-        )  # (EV_K, 16)
+            from_sec_g[:, None], sec.rows[sec_idx_g],
+            backlog_rows[bl_idx_g]
+        )  # (k_w, 16)
 
         # Scatter the compact rows to lane positions, then merge pool-wide
         # with cheap elementwise selects.  The load-indicator mask rides
@@ -1751,7 +1886,7 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         conn = geometry.connection_c(xg[1], xg[2], a, hs)
         dk0 = geometry.geodesic_rhs_c(conn, *kg)
 
-        g7, fl = eval_fluid_xy(xg[1], xg[2])
+        fl = eval_fluid_hot(xg[1], xg[2])
         theta, nu, a_sc, a_ab = eval_alphas(kg, fl)
         inside = fl.n_e > 0.0
         b0 = bias_func(fl.theta_e, wg, counters)
@@ -1790,12 +1925,8 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
             )
         return p
 
-    def periodic_phase(state: State, backlog_rows, n_valid=None) -> State:
-        p, spec, counters, sec = state.pool, state.spec, state.counters, state.sec
-        key, k_sc = random.split(state.key)
-        occ0 = p.occupied  # for the retired-steps accounting below
-
-        # NaN insurance: poisoned lanes die unrecorded.
+    def _poison_sweep(p: Pool) -> Pool:
+        """NaN insurance: poisoned lanes die unrecorded."""
         poison = p.occupied & (
             isnan4(p.x) | isnan4(p.k) | jnp.isnan(p.w)
         )
@@ -1807,11 +1938,18 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         )
         if cfg.detached_events:
             p = p._replace(ev_pending=p.ev_pending & ~poison)
+        return p
 
-        if "scatter" not in dbg:
-            p, sec, counters = process_scatters(k_sc, p, sec, counters)
+    def _record_free_refill(p, spec, counters, sec, backlog_rows,
+                            backlog_pos, n_valid, width=None, use_sec=True):
+        """Record escaped lanes, free dead ones, reload from sec/backlog.
+
+        The maintenance half shared by the full periodic phase and the
+        light phase (EngineConfig.refill_period); ``width``/``use_sec``
+        narrow the light phase's working sets."""
+        occ0 = p.occupied  # for the retired-steps accounting below
         if "record" not in dbg:
-            spec, counters, p = spectrum_add(spec, counters, p)
+            spec, counters, p = spectrum_add(spec, counters, p, width=width)
         # Free dead-but-unrecorded lanes (horizon, roulette, absorbed) —
         # except lanes still holding an unconsumed detached event.
         keep = p.alive | p.record_pending
@@ -1826,16 +1964,58 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
             n_steps_retired=counters.n_steps_retired
             + jnp.sum(jnp.where(freed, p.n_step, 0)).astype(jnp.int64),
         )
-        backlog_pos = state.backlog_pos
         if "refill" not in dbg:
             p, sec, backlog_pos, counters, fresh = refill(
-                p, sec, backlog_rows, state.backlog_pos, counters, n_valid
+                p, sec, backlog_rows, backlog_pos, counters, n_valid,
+                width=width, use_sec=use_sec,
             )
             p = init_fresh(p, fresh, counters)
+        return p, spec, counters, sec, backlog_pos
 
+    def periodic_phase(state: State, backlog_rows, n_valid=None) -> State:
+        p, spec, counters, sec = state.pool, state.spec, state.counters, state.sec
+        key, k_sc = random.split(state.key)
+        p = _poison_sweep(p)
+        if "scatter" not in dbg:
+            p, sec, counters = process_scatters(k_sc, p, sec, counters)
+        p, spec, counters, sec, backlog_pos = _record_free_refill(
+            p, spec, counters, sec, backlog_rows, state.backlog_pos, n_valid)
+        if cfg.bias_ema > 0.0:
+            # Windowed bias feedback (EngineConfig.bias_ema): fold the
+            # since-last-full-phase marginal scatters/recorded ratio into
+            # the EMA; windows with no records leave it unchanged.
+            d_s = (counters.n_scatt_rec - counters.ema_scatt_mark).astype(dt)
+            d_r = (counters.n_recorded - counters.ema_rec_mark).astype(dt)
+            a = jnp.where(d_r > 0.0, jnp.asarray(cfg.bias_ema, dt), 0.0)
+            ema = ((1.0 - a) * counters.avg_ema
+                   + a * d_s / jnp.maximum(d_r, 1.0))
+            counters = counters._replace(
+                avg_ema=ema,
+                ema_scatt_mark=counters.n_scatt_rec,
+                ema_rec_mark=counters.n_recorded,
+            )
         return state._replace(
             pool=p, spec=spec, counters=counters, sec=sec,
             backlog_pos=backlog_pos, key=key,
+        )
+
+    def light_phase(state: State, backlog_rows, n_valid=None) -> State:
+        """Record + free + refill only — no scatter-event samplers, no RNG.
+
+        Run between full periodic phases (EngineConfig.refill_period) so
+        retired lanes reload within a few iterations instead of idling to
+        the end of the m_period block.  Detached events stay pending in
+        their shadow registers until the next full phase (their holders
+        keep moving); parked lanes stay parked."""
+        lk = min(cfg.n_pool,
+                 cfg.light_k if cfg.light_k else min(EV_K, RF_K))
+        p = _poison_sweep(state.pool)
+        p, spec, counters, sec, backlog_pos = _record_free_refill(
+            p, state.spec, state.counters, state.sec, backlog_rows,
+            state.backlog_pos, n_valid, width=lk)
+        return state._replace(
+            pool=p, spec=spec, counters=counters, sec=sec,
+            backlog_pos=backlog_pos,
         )
 
     # ------------------------------------------------------------------
@@ -1862,6 +2042,12 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         n_super = max(1, cfg.m_period)
         te = cfg.tail_exit if tail_exit is None else tail_exit
         nv = t_total if n_valid is None else n_valid
+        # Hot-iteration blocks between pool-maintenance phases: block 0
+        # follows the FULL periodic phase, later blocks a light phase each.
+        rp = cfg.refill_period if cfg.refill_period > 0 else n_super
+        blocks = [rp] * (n_super // rp)
+        if n_super % rp:
+            blocks.append(n_super % rp)
 
         def cond(state):
             return (
@@ -1872,7 +2058,12 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
 
         def body(state):
             state = periodic_phase(state, backlog_rows, n_valid)
-            return lax.fori_loop(0, n_super, lambda i, s: hot_step(s), state)
+            state = lax.fori_loop(0, blocks[0],
+                                  lambda i, s: hot_step(s), state)
+            for nb in blocks[1:]:
+                state = light_phase(state, backlog_rows, n_valid)
+                state = lax.fori_loop(0, nb, lambda i, s: hot_step(s), state)
+            return state
 
         state = lax.while_loop(cond, body, state)
         # Final flush of any pending records (all lanes are dead here).
@@ -1927,6 +2118,7 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         "hot_step": hot_step,
         "hot_step_legacy": hot_step_legacy,  # A/B parity checks only
         "periodic_phase": periodic_phase,
+        "light_phase": light_phase,
         "push_batch": push_batch,
         "fresh_state": fresh_state,
         "bias_func": bias_func,

@@ -66,7 +66,7 @@ def dump_init(dump_path, mass_unit, photon_n, builder):
     with open(dump_path, "rb") as f:
         h.update(f.read())
     h.update(repr((mass_unit, photon_n, consts.NU_MIN, consts.NU_MAX,
-                   consts.N_E_SAMP, consts.NINT, "v5-geom-9pt-polereg")).encode())
+                   consts.N_E_SAMP, consts.NINT, "v7-derived-ratio")).encode())
     key = h.hexdigest()[:12]
     path = os.path.join(DATA_DIR, f"dumpinit_{key}.npz")
     if os.path.exists(path):
