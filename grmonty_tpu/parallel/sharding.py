@@ -22,6 +22,7 @@ hot loop collective-free so shards never wait on each other.
 from __future__ import annotations
 
 import logging
+import os
 import time
 
 import jax
@@ -36,7 +37,7 @@ from grmonty_tpu.transport import engine as engine_mod
 log = logging.getLogger("grmonty")
 
 
-def _state_specs():
+def _state_specs(detached_events=False):
     """PartitionSpec pytree for the sharded engine State.
 
     Pool arrays shard their lane axis (the last); per-shard scalars are
@@ -44,13 +45,18 @@ def _state_specs():
     (1,) view it owns (squeezed at the shard_map boundary) — per-shard
     progress (backlog_pos, sec.count) is then visible to the host without
     any replication assumption.
+
+    ``detached_events``: the event shadow registers (ev_x/ev_k/ev_w/
+    ev_pending) are plain per-lane state, sharded like every other pool
+    array.  (fluid_cache stays unsupported sharded — it loses on a single
+    chip anyway, see EngineConfig.)
     """
     vec4 = lambda: (P("ph"),) * 4  # 4-tuples of (N,) components
     pool = engine_mod.Pool(
         x=vec4(), k=vec4(), dkdlam=vec4(),
-        # fluid_cache / detached_events are unsupported sharded (guarded in
-        # __init__), so their pool fields are empty pytrees / (0,) arrays.
-        frow=(), ev_x=(), ev_k=(),
+        frow=(),
+        ev_x=(vec4() if detached_events else ()),
+        ev_k=(vec4() if detached_events else ()),
         **{f: P("ph") for f in engine_mod.Pool._fields
            if f not in ("x", "k", "dkdlam", "frow", "ev_x", "ev_k")},
     )
@@ -102,28 +108,28 @@ class ShardedSimulation(driver_mod.Simulation):
         cfg = kwargs.get("config")
         if cfg is not None and getattr(cfg, "fluid_cache", False):
             raise ValueError("fluid_cache is not supported on the sharded path")
-        if cfg is not None and getattr(cfg, "detached_events", False):
-            raise ValueError(
-                "detached_events is not supported on the sharded path")
         self.n_devices = n_devices
         self.mesh = Mesh(np.array(devices[:n_devices]), ("ph",))
-        # per-shard chunks drain fully (stragglers only block their own shard)
-        kwargs.setdefault("wave_tail_exit", 0)
+        # Interior chunks hand off with the pool still full (the single-chip
+        # driver's pool-full handoff); the final drain runs tail_exit=0.
+        _cfg = cfg if cfg is not None else engine_mod.EngineConfig()
+        kwargs.setdefault("wave_tail_exit", _cfg.n_pool)
         super().__init__(*args, **kwargs)
 
         run = self.engine["run"]
-        specs = _state_specs()
+        specs = _state_specs(self.cfg.detached_events)
+        self._specs = specs
 
-        def _run_shard(state, backlog):
+        def _run_shard(state, backlog, tail_exit, n_valid):
             state = _squeeze_state(state)._replace(it=jnp.zeros((), jnp.int32))
-            state = run(state, backlog)
+            state = run(state, backlog, tail_exit, n_valid)
             return _unsqueeze_state(state)
 
         self._sharded_run = jax.jit(
             jax.shard_map(
                 _run_shard,
                 mesh=self.mesh,
-                in_specs=(specs, P("ph", None)),
+                in_specs=(specs, P("ph", None), P(), P()),
                 out_specs=specs,
                 check_vma=False,
             )
@@ -147,6 +153,9 @@ class ShardedSimulation(driver_mod.Simulation):
                 ls_moving=jnp.sum(counters.ls_moving),
                 ls_committed=jnp.sum(counters.ls_committed),
                 ls_parked=jnp.sum(counters.ls_parked),
+                avg_ema=jnp.max(counters.avg_ema),
+                ema_scatt_mark=jnp.sum(counters.ema_scatt_mark),
+                ema_rec_mark=jnp.sum(counters.ema_rec_mark),
             )
 
         self._reduce = _reduce
@@ -155,7 +164,7 @@ class ShardedSimulation(driver_mod.Simulation):
     def _fresh_sharded_state(self, key):
         n = self.n_devices
         sh = lambda spec: NamedSharding(self.mesh, spec)
-        specs = _state_specs()
+        specs = self._specs
         single = jax.tree.map(np.asarray, self.engine["fresh_state"](key))
         keys = np.asarray(random.split(key, n))
 
@@ -191,31 +200,81 @@ class ShardedSimulation(driver_mod.Simulation):
             np.asarray(rows), NamedSharding(self.mesh, P("ph", None))
         )
 
-    def run(self):
+    def save_checkpoint(self, path, chunks_done, state):
+        """Disk resume point after a completed chunk (sharded flavour of
+        driver.Simulation.save_checkpoint: same leaf-list npz layout, with
+        the mesh width recorded so a resume can't silently change it)."""
+        state_h = jax.device_get(state)
+        leaves = jax.tree_util.tree_leaves(state_h)
+        payload = {f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)}
+        payload["spec_acc"] = self.spec_acc
+        payload["key"] = np.asarray(self.key)
+        payload["meta"] = np.asarray(
+            [chunks_done, len(leaves), self.photon_n, self.cfg.n_pool,
+             self.emit_chunk, self.n_devices], np.int64)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, **payload)
+        os.replace(tmp, path)
+        log.info("sharded checkpoint: %d chunk(s) done -> %s",
+                 chunks_done, path)
+
+    def load_checkpoint(self, path, template_state):
+        dat = np.load(path, allow_pickle=False)
+        meta = [int(x) for x in dat["meta"]]
+        chunks_done, n_leaves, photon_n, n_pool, emit_chunk, n_dev = meta
+        if (photon_n, n_pool, emit_chunk, n_dev) != (
+                self.photon_n, self.cfg.n_pool, self.emit_chunk,
+                self.n_devices):
+            raise ValueError(
+                f"sharded checkpoint {path} from a different run setup: "
+                f"{meta[2:]} != {(self.photon_n, self.cfg.n_pool, self.emit_chunk, self.n_devices)}")
+        treedef = jax.tree_util.tree_structure(template_state)
+        if treedef.num_leaves != n_leaves:
+            raise ValueError("sharded checkpoint state structure mismatch")
+        leaves = [dat[f"leaf_{i}"] for i in range(n_leaves)]
+        host_state = jax.tree_util.tree_unflatten(treedef, leaves)
+        state = jax.tree.map(
+            lambda a, s: jax.device_put(
+                np.asarray(a), NamedSharding(self.mesh, s)),
+            host_state, self._specs)
+        self.spec_acc = dat["spec_acc"].astype(np.float64)
+        self.key = jnp.asarray(dat["key"])
+        return chunks_done, state
+
+    def run(self, checkpoint_path=None, checkpoint_every=1):
         t0 = time.time()
         plan = self.plan()
         self.key, k_eng = random.split(self.key)
         state = self._fresh_sharded_state(k_eng)
+        self.spec_acc = np.zeros_like(self.spec_acc)
 
         n = self.n_devices
         # chunk must divide evenly across shards
         chunk = -(-self.emit_chunk // n) * n
         per_shard = chunk // n
         n_chunks = max(1, -(-plan.total // chunk))
-        for c in range(n_chunks):
+        resume = 0
+        if checkpoint_path and os.path.exists(checkpoint_path):
+            resume, state = self.load_checkpoint(checkpoint_path, state)
+            log.info("sharded resume from %s: %d chunk(s) done",
+                     checkpoint_path, resume)
+        # Interior chunks exit at pool-full handoff; the last chunk drains
+        # to zero so the final all-reduce sees completed transport.
+        pool_sh = NamedSharding(self.mesh, P("ph"))
+        for c in range(resume, n_chunks):
             batch = self._sample(plan, c * chunk, chunk)
             rows = engine_mod.pack_rows(batch, self.cfg.dtype)
             backlog = self._put_backlog(rows)
             # reset every shard's backlog cursor for the fresh chunk
             state = state._replace(
-                backlog_pos=jax.device_put(
-                    np.zeros(n, np.int32),
-                    NamedSharding(self.mesh, P("ph")),
-                )
+                backlog_pos=jax.device_put(np.zeros(n, np.int32), pool_sh)
             )
+            te = np.int32(0 if c + 1 == n_chunks else self._wave_tail_exit)
+            nv = np.int32(per_shard)
             # run the chunk to completion in bounded slices on every shard
             while True:
-                state = self._sharded_run(state, backlog)
+                state = self._sharded_run(state, backlog, te, nv)
                 occ = int(jax.device_get(jnp.sum(state.pool.occupied)))
                 pos = np.asarray(jax.device_get(state.backlog_pos))
                 secs = np.asarray(jax.device_get(state.sec.count))
@@ -223,8 +282,13 @@ class ShardedSimulation(driver_mod.Simulation):
                     "sharded chunk %d/%d: occ=%d pos_min=%d sec=%d",
                     c + 1, n_chunks, occ, int(pos.min()), int(secs.sum()),
                 )
-                if (pos >= per_shard).all() and secs.sum() == 0 and occ == 0:
+                if ((pos >= per_shard).all() and secs.sum() == 0
+                        and occ <= int(te) * n):
                     break
+            if checkpoint_path and (c + 1) % checkpoint_every == 0:
+                self.save_checkpoint(checkpoint_path, c + 1, state)
+        if checkpoint_path and os.path.exists(checkpoint_path):
+            os.remove(checkpoint_path)
 
         spec, counters = self._reduce(state.spec, state.counters)
         spec = driver_mod.unscale_spectrum(
