@@ -55,6 +55,20 @@ def main():
     ap.add_argument("--detached", action="store_true",
                     help="engine detached_events to validate against the "
                     "oracle (parking-free parent continuation)")
+    ap.add_argument("--bench-profile", action="store_true",
+                    help="gate the EXACT shipped bench configuration "
+                    "(grmonty_tpu.transport.profiles.bench_config at a "
+                    "1024-lane pool): float32 engine, grow_cap/rate, "
+                    "detached_events, derived_fluid, refill_period, "
+                    "mxu_extract, gather_split — overrides the individual "
+                    "knob flags")
+    ap.add_argument("--dtype", choices=("float64", "float32"),
+                    default="float64",
+                    help="engine compute dtype (ignored with "
+                    "--bench-profile, which ships float32)")
+    ap.add_argument("--derived-fluid", action="store_true",
+                    help="engine derived_fluid corner table")
+    ap.add_argument("--refill-period", type=int, default=0)
     ap.add_argument("--oracle", choices=("python", "native"), default="native",
                     help="oracle backend: 'native' (C++ mirror, seconds; "
                     "parity-tested in tests/test_oracle_native.py) or "
@@ -85,15 +99,32 @@ def main():
     if not os.path.exists(dump):
         torus.write_torus_dump(dump, n1=args.n1, n2=args.n2)
 
-    cfg = engine.EngineConfig(
-        n_pool=1024, m_period=8, sec_cap=16384, max_outer=200000,
-        stall_steps=100000, grow_cap=args.grow_cap,
-        grow_rate=args.grow_rate,
-        detached_events=args.detached,
-    )
+    sim_kw = {}
+    if args.bench_profile:
+        from grmonty_tpu.transport import profiles
+
+        # The shipped profile verbatim (incl. float32), at a pool size the
+        # CPU harness can afford; stall_steps as shipped.  The driver-level
+        # tail overrides ship too.
+        cfg = profiles.bench_config(pool=1024, env={})
+        cfg = cfg._replace(sec_cap=16384, max_outer=200000)
+        bk = profiles.bench_sim_kwargs(1024, env={})
+        sim_kw = dict(tail_grow_cap=bk["tail_grow_cap"],
+                      tail_stall_steps=bk["tail_stall_steps"])
+    else:
+        cfg = engine.EngineConfig(
+            n_pool=1024, m_period=8, sec_cap=16384, max_outer=200000,
+            stall_steps=100000, grow_cap=args.grow_cap,
+            grow_rate=args.grow_rate,
+            detached_events=args.detached,
+            derived_fluid=args.derived_fluid,
+            refill_period=args.refill_period,
+            dtype=jnp.float32 if args.dtype == "float32" else jnp.float64,
+        )
     sim = driver.Simulation(dump, photon_n=args.photon_n,
                             mass_unit=args.mass_unit, config=cfg,
-                            emit_chunk=4096, seed=args.seed, warmup=256)
+                            emit_chunk=4096, seed=args.seed, warmup=256,
+                            **sim_kw)
 
     # --- identical emission sample for BOTH sides -----------------------
     # (the zone sweep is ordered, so any "first K photons" prefix is a
@@ -207,6 +238,17 @@ def main():
     chi2 = float((((e_e - e_o) ** 2)[use] / var[use]).sum())
     dof = int(use.sum())
 
+    # Recorded-count SHAPE channel (VERDICT r1 "what's weak" #8): raw
+    # per-group counts differ systematically by the bias-equilibrium
+    # rec_ratio, so compare count FRACTIONS per group (engine vs oracle)
+    # with Poisson variances — a pure Poisson statistic, independent of
+    # the weighted channel's variance model.  A lum-flat but count-skewed
+    # deviation (e.g. mis-binned secondaries) shows up here.
+    f_e = n_e / max(n_e.sum(), 1)
+    f_o = n_o / max(n_o.sum(), 1)
+    var_f = n_e / max(n_e.sum(), 1) ** 2 + n_o / max(n_o.sum(), 1) ** 2
+    chi2_counts = float((((f_e - f_o) ** 2)[use] / var_f[use]).sum())
+
     # Bias-feedback equilibria per side (the counters the scattering bias
     # is built from): a systematic rec_ratio offset usually traces here.
     avg_scatt_e = float(se[:, :, 3].sum() / max(n_rec_e, 1))
@@ -231,15 +273,26 @@ def main():
         "chi2": chi2,
         "dof": dof,
         "chi2_per_dof": chi2 / max(dof, 1),
+        "chi2_counts_per_dof": chi2_counts / max(dof, 1),
         "avg_scatt_engine": avg_scatt_e,
         "avg_scatt_oracle": avg_scatt_o,
         "max_tau_scatt_engine": float(state.counters.max_tau_scatt),
         "groups": groups,
         "mass_unit": args.mass_unit,
-        "grow_cap": args.grow_cap,
-        "grow_rate": args.grow_rate,
-        "detached": bool(args.detached),
         "oracle": args.oracle,
+        "engine_config": {
+            "dtype": str(np.dtype(cfg.dtype)),
+            "grow_cap": cfg.grow_cap, "grow_rate": cfg.grow_rate,
+            "detached_events": cfg.detached_events,
+            "derived_fluid": cfg.derived_fluid,
+            "refill_period": cfg.refill_period,
+            "light_k": cfg.light_k,
+            "bias_ema": cfg.bias_ema,
+            "mxu_extract": cfg.mxu_extract,
+            "gather_split": cfg.gather_split,
+            "stall_steps": cfg.stall_steps,
+            "bench_profile": bool(args.bench_profile),
+        },
     }
     print(json.dumps(out, indent=2))
     if args.json:
