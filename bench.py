@@ -126,7 +126,7 @@ def main():
     # Checkpoint cadence: each checkpoint device_gets the full engine state
     # through the tunnel inside the measured window (~1 s each); every 4th
     # wave bounds a crash's replay cost at ~4 waves while reclaiming that.
-    ck_every = int(os.environ.get("BENCH_CKPT_EVERY", "4"))
+    ck_every = int(os.environ.get("BENCH_CKPT_EVERY", "8"))
     try:
         spec, stats = sim.run(checkpoint_path=ckpt, checkpoint_every=ck_every)
     except ValueError:

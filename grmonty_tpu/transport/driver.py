@@ -88,6 +88,12 @@ class Simulation:
         # (no deviation).
         tail_stall_steps: int | None = None,  # stall_steps override for the
         # tail cascade; None = inherit.
+        cdf_sampler: bool = False,  # emission: inverse-CDF sampling
+        # (emission.SamplerTables) instead of the reference's rejection
+        # loops — the batched rejection pays the batch-MAX draw count
+        # (~73 full-width rounds = 2.9 s per 1M photons on a v5e, as
+        # expensive as the transport itself).  Distribution-equivalence
+        # pinned by tests/test_emission_cdf.py; off = reference semantics.
     ):
         self.photon_n = photon_n
         self.emit_chunk = emit_chunk
@@ -96,6 +102,7 @@ class Simulation:
         self.max_retries = max_retries
         self.tail_grow_cap = tail_grow_cap
         self.tail_stall_steps = tail_stall_steps
+        self._cdf_sampler = cdf_sampler
         self.cfg = config or engine_mod.EngineConfig()
         dt = self.cfg.dtype
 
@@ -174,6 +181,15 @@ class Simulation:
             host = {k: np.asarray(v) for k, v in out.items()}
             host.update(prims=prims, f_t=np.asarray(f_table),
                         k2_t=np.asarray(k2_table), hc=np.asarray(hc))
+            # Inverse-CDF emission tables (emission.SamplerTables): pure
+            # numpy from the products above; cached with them.
+            import types
+
+            fzh = types.SimpleNamespace(theta_e=host["fz_te"],
+                                        b=host["fz_b"])
+            zm, lnr, cdfs = emission.build_nu_cdf(
+                fzh, host["weights"], host["f_t"], host["nz"])
+            host.update(nu_zone_map=zm, nu_lnrho=lnr, nu_cdf=cdfs)
             return host
 
         # The per-dump init products are pure functions of (dump, mass_unit,
@@ -278,11 +294,24 @@ class Simulation:
         self._ln_dn_cpu = jax.device_put(
             np.log(np.maximum(np.asarray(self.dn_max, np.float64), 1e-300))
             + np.where(np.asarray(self.dn_max) > 0.0, 0.0, -np.inf), cpu)
+        # Host sampler: inverse-CDF tables when the profile ships them
+        # (so CPU-backend runs exercise the same emission pipeline);
+        # rejection otherwise (reference semantics).
+        host_tabs = None
+        if self._cdf_sampler:
+            h2 = self._host
+            cput2 = lambda a: jax.device_put(np.asarray(a), cpu)
+            host_tabs = emission.SamplerTables(
+                zone_map=cput2(h2["nu_zone_map"]),
+                lnrho=cput2(h2["nu_lnrho"]),
+                cdf=cput2(h2["nu_cdf"]),
+                theta_q=cput2(cache.theta_quantiles()),
+            )
         self._sample_jit = jax.jit(
             lambda key, zi, zj: emission.sample_photons(
                 key, zi, zj, self.zone_x, self.fluid_zone, self.e_con_z,
                 self.e_cov_z, self._ln_dn_cpu, self._weights_cpu,
-                self._f_cpu, dtype=jnp.float64,
+                self._f_cpu, dtype=jnp.float64, tabs=host_tabs,
             )
         )
         # Accelerator-side emission (see run()): built lazily because it
@@ -414,6 +443,15 @@ class Simulation:
         f_t = dput(self._f_cpu)
         ln_w_off = float(np.log(self.cfg.weight_scale))
         chunk = self.emit_chunk
+        tabs = None
+        if self._cdf_sampler:
+            h = self._host
+            tabs = emission.SamplerTables(
+                zone_map=jax.device_put(np.asarray(h["nu_zone_map"])),
+                lnrho=jax.device_put(np.asarray(h["nu_lnrho"])),
+                cdf=jax.device_put(np.asarray(h["nu_cdf"])),
+                theta_q=jax.device_put(cache.theta_quantiles()),
+            )
 
         n2 = self.mc.n2
         cum_dev = self._plan_dev
@@ -434,7 +472,7 @@ class Simulation:
             zj = zflat - zi * n2
             b = emission.sample_photons(
                 key, zi, zj, zone_x, flz, e_con, e_cov, ln_dn, weights,
-                f_t, dtype=dt, ln_w_offset=ln_w_off,
+                f_t, dtype=dt, ln_w_offset=ln_w_off, tabs=tabs,
             )
             lane = jnp.arange(chunk)
             valid = lane < limit
@@ -567,7 +605,14 @@ class Simulation:
         if n_valid is None:
             n_valid = backlog.shape[0]
         nv = np.int32(min(n_valid, backlog.shape[0]))
-        snap = self._snapshot(state)
+        # In-memory fault snapshots are OPTIONAL (snapshot_every=0): each
+        # one device_gets the full ~20 MB engine state through the tunnel
+        # (~1-2 s) at EVERY wave entry — measured at ~2-3 s per wave
+        # boundary, ~half the whole bench wall clock.  With a disk
+        # checkpoint + re-exec recovery path (bench.py), snapshots are
+        # redundant; a fault then surfaces to the caller's resume logic.
+        use_snap = self.snapshot_every > 0
+        snap = self._snapshot(state) if use_snap else None
         retries = 0
         s = 0
         while True:
@@ -589,15 +634,15 @@ class Simulation:
                 retries += 1
                 log.warning("TPU fault on wave %d slice %d (retry %d/%d): %s",
                             c + 1, s, retries, self.max_retries, err)
-                if retries > self.max_retries:
-                    raise
+                if snap is None or retries > self.max_retries:
+                    raise  # caller's checkpoint/re-exec path takes over
                 time.sleep(5.0 * retries)
                 self._recover()
                 state = self._restore(snap)
                 backlog = remake_backlog()
                 continue
             s += 1
-            if s % self.snapshot_every == 0:
+            if use_snap and s % self.snapshot_every == 0:
                 snap = self._snapshot(state)
             elapsed = time.time() - t0
             done = min(start + pos, total)

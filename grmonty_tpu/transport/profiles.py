@@ -84,6 +84,11 @@ def bench_config(pool=65536, dtype=None, ref_mode=False, env=None,
     )
 
 
+def knob_b(env, name, ref_mode):
+    """Boolean knob: default on, off in ref_mode."""
+    return env.get(name, "0" if ref_mode else "1") == "1"
+
+
 def bench_sim_kwargs(pool, ref_mode=False, env=None):
     """Driver-level pieces of the shipped profile (tail-cascade overrides,
     pool-full wave handoff, slicing) — shared by bench.py and the gate."""
@@ -97,6 +102,14 @@ def bench_sim_kwargs(pool, ref_mode=False, env=None):
         # (recorded-count swings of 1.5x observed at warmup=1024).
         warmup=int(env.get("BENCH_WARMUP", "8192")),
         slice_iters=int(env.get("BENCH_SLICE", "2048")),
+        # No in-memory fault snapshots: the bench recovers via its disk
+        # checkpoint + process re-exec; snapshots cost a ~20 MB tunneled
+        # device_get per wave (~2-3 s per wave boundary, measured).
+        snapshot_every=int(env.get("BENCH_SNAPSHOT_EVERY", "0")),
+        # Inverse-CDF emission sampler (emission.SamplerTables): the
+        # batched rejection loops pay the batch-max draw count (~73
+        # full-width rounds, 2.9 s per 1M-photon wave on v5e).
+        cdf_sampler=knob_b(env, "BENCH_CDF", ref_mode),
         wave_tail_exit=pool,
         tail_grow_cap=(float(env["BENCH_TAIL_GROW"])
                        if "BENCH_TAIL_GROW" in env

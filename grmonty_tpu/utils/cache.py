@@ -66,7 +66,7 @@ def dump_init(dump_path, mass_unit, photon_n, builder):
     with open(dump_path, "rb") as f:
         h.update(f.read())
     h.update(repr((mass_unit, photon_n, consts.NU_MIN, consts.NU_MAX,
-                   consts.N_E_SAMP, consts.NINT, "v7-derived-ratio")).encode())
+                   consts.N_E_SAMP, consts.NINT, "v8-nucdf")).encode())
     key = h.hexdigest()[:12]
     path = os.path.join(DATA_DIR, f"dumpinit_{key}.npz")
     if os.path.exists(path):
@@ -77,3 +77,12 @@ def dump_init(dump_path, mass_unit, photon_n, builder):
     os.makedirs(DATA_DIR, exist_ok=True)
     np.savez(path, **host)
     return dict(host)
+
+
+def theta_quantiles():
+    """Global direction-sampler quantile table (emission.build_theta_quantiles)."""
+    from grmonty_tpu.ops import emission
+
+    key = _key(emission.TH_X_NODES, emission.TH_U_NODES, emission.TH_LX_MIN,
+               emission.TH_LX_MAX, consts.jnu.CST, "v1")
+    return _cached("theta_q", key, emission.build_theta_quantiles)
