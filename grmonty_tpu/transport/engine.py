@@ -176,6 +176,15 @@ class EngineConfig(typing.NamedTuple):
     #   Scheduling-only deviation: photons' physics is untouched (same
     #   trajectories modulo RNG stream assignment); chi2-gated like every
     #   other knob.  Must divide m_period; 4 is the measured sweet spot.
+    grow_tau_cap: float = 0.25  # when grow_cap > 1, additionally cap the
+    #   grown segment so the per-step BIASED scattering depth
+    #   bias * alpha_scatt * d_tau_k * seg stays below this value.  The
+    #   geodesic error tests gate growth geometrically, but the scatter
+    #   decision and trapezoid opacity are per-step linearizations whose
+    #   accuracy degrades with dtau per step: at 20k-photon chi^2 power
+    #   the f32+grow_cap=8 profile showed a +4% luminosity bias
+    #   concentrated in the Compton-tail groups (1.5-1.9x) without this
+    #   cap.  Thin regions (where growth pays) are untouched.  0 = off.
     grow_cap: float = 1.0  # upper clamp on the per-lane adaptive step
     #   factor dl_shrink.  1.0 (default) = reference semantics: a lane's
     #   step never exceeds the nominal step_size (harm_model.cpp:1620-30).
@@ -564,7 +573,8 @@ def _capture_events(p, arrived, at_event, x, k, w, sec_w, alive,
 def hot_phase_a(x, k, dkdlam, e_0_s, dl_shrink, pend_dl, pend_push, at_event,
                 alive, w, record_pending, u_roul,
                 mc, fp_iters, weight_min, shrink_floor, ref_err_metric=False,
-                grow_cap=1.0, grow_rate=2.0):
+                grow_cap=1.0, grow_rate=2.0, grow_tau_cap=0.0,
+                alpha_scatti=None, bi=None):
     """Pre-gather half of the hot iteration, pure and elementwise.
 
     step_size -> geodesic push attempt -> per-lane shrink control ->
@@ -593,6 +603,15 @@ def hot_phase_a(x, k, dkdlam, e_0_s, dl_shrink, pend_dl, pend_push, at_event,
     # event: the re-push segment is capped at the remaining pend length.
     # Exact no-op at grow_cap = 1 (seg <= dl_full always holds there).
     seg = jnp.where(pend_push, jnp.minimum(seg, dl_full), seg)
+    if grow_cap > 1.0 and grow_tau_cap > 0.0 and alpha_scatti is not None:
+        # Biased-optical-depth growth cap (EngineConfig.grow_tau_cap):
+        # the scatter decision is a per-step linearization; never let a
+        # GROWN step carry bias*dtau_scatt beyond the cap.  Nominal-size
+        # steps are always allowed (reference semantics).
+        seg_tau = grow_tau_cap / (
+            0.5 * mc.d_tau_k * alpha_scatti * bi + consts.EPS)
+        seg = jnp.where(pend_push, seg,
+                        jnp.minimum(seg, jnp.maximum(seg_tau, dl_full)))
     at_floor = dl_shrink <= shrink_floor
     act = moving & ~(x[1] < mc.x_start[1])
 
@@ -1166,7 +1185,8 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
                 p.dl_shrink, p.pend_dl, p.pend_push, p.at_event, p.alive,
                 p.w, p.record_pending, u_roul,
                 mc, cfg.fp_iters, weight_min, SHRINK_FLOOR, cfg.ref_err_metric,
-                cfg.grow_cap, cfg.grow_rate,
+                cfg.grow_cap, cfg.grow_rate, cfg.grow_tau_cap,
+                p.alpha_scatti, p.bi,
             )
         if cfg.col_gather:
             # Transposed-table gather: (32, N) with lanes along the pool
@@ -1224,6 +1244,9 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         if not _shared_hot:
             raise ValueError("pallas_hot supports only the shared hot path "
                              "(no interp_geom/fluid_cache/dbg_skip)")
+        if cfg.grow_cap > 1.0 and cfg.grow_tau_cap > 0.0:
+            raise ValueError("pallas_hot does not carry the opacity fields "
+                             "into phase A; set grow_tau_cap=0 or grow_cap=1")
         from grmonty_tpu.transport import hotstep_pallas
 
         _pallas_hot_step = hotstep_pallas.make_hot_step(

@@ -69,6 +69,8 @@ def main():
     ap.add_argument("--derived-fluid", action="store_true",
                     help="engine derived_fluid corner table")
     ap.add_argument("--refill-period", type=int, default=0)
+    ap.add_argument("--bias-ema", type=float, default=0.0)
+    ap.add_argument("--stall-steps", type=int, default=100000)
     ap.add_argument("--oracle", choices=("python", "native"), default="native",
                     help="oracle backend: 'native' (C++ mirror, seconds; "
                     "parity-tested in tests/test_oracle_native.py) or "
@@ -119,8 +121,10 @@ def main():
             detached_events=args.detached,
             derived_fluid=args.derived_fluid,
             refill_period=args.refill_period,
+            bias_ema=args.bias_ema,
             dtype=jnp.float32 if args.dtype == "float32" else jnp.float64,
         )
+        cfg = cfg._replace(stall_steps=args.stall_steps)
     sim = driver.Simulation(dump, photon_n=args.photon_n,
                             mass_unit=args.mass_unit, config=cfg,
                             emit_chunk=4096, seed=args.seed, warmup=256,
@@ -190,7 +194,10 @@ def main():
         assert int(dat["n_photons"]) == n_orc, "oracle cache photon count mismatch"
     else:
         backlog = jax.device_get(batch)
-        backlog = backlog._replace(w=np.asarray(backlog.w) / sim.cfg.weight_scale)
+        # f64 BEFORE unscaling: raw grmonty weights (~1e50) overflow the
+        # engine's f32 batch dtype once the 1e-25 scale is removed.
+        backlog = backlog._replace(
+            w=np.asarray(backlog.w, np.float64) / sim.cfg.weight_scale)
         if args.oracle == "native":
             from grmonty_tpu.transport.oracle_native import NativeTracker
 
