@@ -157,6 +157,14 @@ def main():
         "steps_per_photon": round(stats.get("steps_per_photon", 0.0), 1),
         "n_recorded": stats["n_recorded"],
         "n_sec_drop": stats.get("n_secondary_dropped", 0),
+        # Rate-definition transparency (the reference clocks its whole
+        # run_simulation with kernels precompiled by nvcc,
+        # harm_model.cpp:405-413): elapsed_s covers emission + transport +
+        # tail drain + checkpoint I/O; compile_s (excluded from the rate,
+        # as the reference's build-time compilation is) is listed so the
+        # accounting is explicit.
+        "elapsed_s": round(stats["elapsed_s"], 1),
+        "compile_s": round(stats.get("compile_s", 0.0), 1),
         "util": [round(stats.get(k, 0.0), 3) for k in
                  ("util_occupied", "util_moving", "util_committed",
                   "util_parked")],

@@ -863,16 +863,48 @@ class Simulation:
             jax.device_put(zj, self._cpu_dev)))
         w = np.asarray(batch.w) * self.cfg.weight_scale
         rows = engine_mod.pack_rows(batch._replace(w=w), self.cfg.dtype)
-        # Pad to the bulk-wave backlog shape: a (warm, 16) backlog is a new
-        # input shape for the jitted engine — one full recompile (~2 min
-        # through the tunnel) for the pilot alone.  n_valid stops the
-        # cursor at the real rows.
+        log.info("pilot wave: %d strided photons (bias warmup)", warm)
+        # The pilot runs in a NARROW engine (the 1024-wide tail-cascade
+        # size): its only product is warmed counters, and full-width
+        # iterations for <= warm photons cost ~4 s of the measured window
+        # (~15% of the whole bench) vs ~0.3 s at 1024 lanes.  Counters are
+        # pool-shape-independent, so they transfer into the main state
+        # directly; pilot stragglers past the exit occupancy are simply
+        # abandoned (the strided photons are re-emitted by their bulk
+        # waves anyway — abandoning reduces the warm/total double-count).
+        n_pilot = min(1024, self.cfg.n_pool)
+        if self.cfg.n_pool > 2048:
+            eng, run = self._tail_engine(n_pilot, 256)
+            self.key, kp = random.split(self.key)
+            pstate = eng["fresh_state"](kp)
+            pstate = pstate._replace(counters=state.counters)
+            nv = np.int32(rows.shape[0])
+            te = np.int32(max(16, warm // 64))
+            it = 0
+            while True:
+                pstate = run(pstate._replace(it=jnp.zeros((), jnp.int32)),
+                             jnp.asarray(rows), te, nv)
+                occ, pos, sec = (int(x) for x in jax.device_get(
+                    (pstate.pool.occupied.sum(), pstate.backlog_pos,
+                     pstate.sec.count)))
+                it += 1
+                log.info("pilot slice %d: occ=%d pos=%d sec=%d", it, occ,
+                         pos, sec)
+                if (pos >= int(nv) and sec == 0 and occ <= int(te)) or it > 64:
+                    break
+            self.spec_acc += np.asarray(
+                jax.device_get(pstate.spec), np.float64)
+            counters = jax.device_get(pstate.counters)
+            log.info("pilot done: rec=%d scatt=%d",
+                     int(counters.n_recorded), int(counters.n_scatt_rec))
+            return state._replace(counters=jax.device_put(counters))
+        # Small pools: run the pilot in the main engine (pad the backlog
+        # to the bulk shape so no extra compile is paid).
         if rows.shape[0] < self.emit_chunk:
             rows = np.concatenate(
                 [rows, np.zeros((self.emit_chunk - rows.shape[0],
                                  engine_mod.ROW_WIDTH), rows.dtype)])
         state = state._replace(backlog_pos=jnp.zeros((), jnp.int32))
-        log.info("pilot wave: %d strided photons (bias warmup)", warm)
         return self._run_wave(state, rows, t0, -1, 0, warm,
                               tail_exit=max(16, warm // 64), n_valid=warm)
 
@@ -900,6 +932,13 @@ class Simulation:
             exit_occ = sizes[si + 1] if si + 1 < len(sizes) else 0
             eng, run = self._tail_engine(n_t, exit_occ)
             jax.block_until_ready(run(eng["fresh_state"](k0), one_row))
+        # The narrow pilot engine at its (warm, 16) backlog shape.
+        warm = min(self.warmup, plan.total)
+        if self.cfg.n_pool > 2048 and warm > 0:
+            eng, run = self._tail_engine(min(1024, self.cfg.n_pool), 256)
+            jax.block_until_ready(run(
+                eng["fresh_state"](k0),
+                jnp.zeros((warm, engine_mod.ROW_WIDTH), self.cfg.dtype)))
 
     def run_native_cpu(self, progress_every=5000):
         """Emit + track everything on the native C++ CPU backend.

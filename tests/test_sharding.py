@@ -1,5 +1,7 @@
 """Multi-chip sharding tests on the 8-device virtual CPU mesh (conftest)."""
 
+import os
+
 import jax
 import numpy as np
 import pytest
@@ -95,6 +97,10 @@ def _chi2_groups(spec_a, n_a, spec_b, n_b, group=20):
     return chi2, int(use.sum())
 
 
+@pytest.mark.skipif(os.environ.get("GRMONTY_SLOW", "0") != "1",
+                    reason="two cold engine compiles (~30 min on a 1-core "
+                    "host); run with GRMONTY_SLOW=1 — results recorded in "
+                    "MULTICHIP artifacts")
 def test_sharded_chi2_parity_bench_profile(dumps):
     """Statistical-power parity: a 1200-photon sharded run (8 shards, the
     bench profile's deviation knobs incl. detached_events — newly
