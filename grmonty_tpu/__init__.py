@@ -30,8 +30,37 @@ jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: remote TPU compiles through the axon tunnel
 # take minutes; caching the compiled executables makes re-runs instant.
+#
+# The default cache dir is keyed by a host fingerprint (machine arch + CPU
+# model/flags): XLA:CPU caches AOT executables whose cache key does NOT
+# include the host's CPU features, so a cache populated on one machine and
+# read on another loads AOT code compiled for the wrong feature set
+# ("Machine type used for XLA:CPU compilation doesn't match ... could lead
+# to execution errors such as SIGILL" — observed in MULTICHIP_r02).  A
+# per-host directory makes that cross-machine reuse impossible while still
+# caching everything on re-runs of the same host.
+
+
+def _host_fingerprint():
+    import hashlib
+    import platform
+
+    bits = [platform.machine()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "flags")):
+                    bits.append(line.strip())
+                    if len(bits) >= 3:
+                        break
+    except OSError:  # pragma: no cover - non-Linux
+        bits.append(platform.processor())
+    return hashlib.sha256("|".join(bits).encode()).hexdigest()[:12]
+
+
 _cache_dir = os.environ.get(
-    "GRMONTY_JAX_CACHE", os.path.expanduser("~/.cache/grmonty_tpu_jax")
+    "GRMONTY_JAX_CACHE",
+    os.path.expanduser(f"~/.cache/grmonty_tpu_jax_{_host_fingerprint()}"),
 )
 try:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)

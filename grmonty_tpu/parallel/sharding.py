@@ -272,12 +272,28 @@ class ShardedSimulation(driver_mod.Simulation):
             )
             te = np.int32(0 if c + 1 == n_chunks else self._wave_tail_exit)
             nv = np.int32(per_shard)
-            # run the chunk to completion in bounded slices on every shard
+            # Run the chunk to completion in bounded slices on every shard.
+            # No-progress watchdog: each dispatch runs at most
+            # min(max_outer, slice_iters) hot iterations (the engine is
+            # built slice-bounded, driver.py), so a live straggler retires
+            # (stall_steps cap) within stall_steps/per_dispatch dispatches
+            # even when its per-lane n_step is the only thing advancing; a
+            # progress signature frozen for several times that means the
+            # engine is wedged (e.g. the pre-r3 ring-full/pool-full
+            # livelock, MULTICHIP_r02 rc=124) — fail loudly instead of
+            # spinning until an external timeout.
+            stagnant, last_sig = 0, None
+            per_dispatch = max(1, min(self.cfg.max_outer, self._slice_iters))
+            max_stagnant = 16 + 4 * max(
+                1, -(-self.cfg.stall_steps // per_dispatch))
             while True:
                 state = self._sharded_run(state, backlog, te, nv)
                 occ = int(jax.device_get(jnp.sum(state.pool.occupied)))
                 pos = np.asarray(jax.device_get(state.backlog_pos))
                 secs = np.asarray(jax.device_get(state.sec.count))
+                rec, steps = (int(np.sum(x)) for x in jax.device_get(
+                    (state.counters.n_recorded,
+                     state.counters.n_steps_retired)))
                 log.info(
                     "sharded chunk %d/%d: occ=%d pos_min=%d sec=%d",
                     c + 1, n_chunks, occ, int(pos.min()), int(secs.sum()),
@@ -285,6 +301,16 @@ class ShardedSimulation(driver_mod.Simulation):
                 if ((pos >= per_shard).all() and secs.sum() == 0
                         and occ <= int(te) * n):
                     break
+                sig = (occ, pos.tobytes(), secs.tobytes(), rec, steps)
+                stagnant = stagnant + 1 if sig == last_sig else 0
+                last_sig = sig
+                if stagnant >= max_stagnant:
+                    self.state = state  # post-mortem access for debugging
+                    raise RuntimeError(
+                        f"sharded chunk {c + 1}/{n_chunks} made no progress "
+                        f"for {stagnant} dispatches (occ={occ}, "
+                        f"pos={pos.tolist()}, sec={secs.tolist()}): engine "
+                        "wedged")
             if checkpoint_path and (c + 1) % checkpoint_every == 0:
                 self.save_checkpoint(checkpoint_path, c + 1, state)
         if checkpoint_path and os.path.exists(checkpoint_path):

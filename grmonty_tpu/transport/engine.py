@@ -1667,9 +1667,21 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         # 0.25% of recorded in the storm segment without this; the
         # reference never drops — its recursion applies the same
         # backpressure through the call stack).
+        #
+        # Deadlock breaker (the reference's force_enqueue, utils.hpp:79-83):
+        # if the ring is full AND the pool has no free lane, refill can
+        # never drain the ring and event-holding lanes can never retire —
+        # the run livelocks (every lane parked at_event/ev_pending, occ and
+        # sec.count frozen; reproduced on the 8-shard CPU-mesh dryrun,
+        # MULTICHIP_r02 rc=124).  In that state the backpressure is lifted:
+        # events consume, and overflow secondaries are dropped and counted
+        # (n_sec_drop), which is exactly the pre-backpressure lossy
+        # behavior — progress over purity, only in the state where the
+        # pure path cannot progress at all.
         room = jnp.maximum(sec.rows.shape[0] - sec.count, 0)
         rank_e = jax.lax.broadcasted_iota(jnp.int32, (EV_K,), 0)
-        valid = valid & (rank_e < room)
+        wedged = (room == 0) & ~jnp.any(~p.occupied)
+        valid = valid & ((rank_e < room) | wedged)
 
         # One packed row gather for every compact-set field (take_cols).
         base = [*p.x, *p.k, p.sec_w, p.w, p.ev_tries,

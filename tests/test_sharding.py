@@ -76,6 +76,45 @@ def test_sharded_matches_single_device(dumps, sharded_run):
     assert abs(np.log10(lum_s / lum_1)) < 0.7  # heavy-tailed weights, small n
 
 
+def test_sharded_bench_knobs_terminate(tmp_path):
+    """The bench profile's deviation knobs (detached_events, grow_cap,
+    refill_period, mxu_extract, gather_split) at dryrun shapes MUST
+    terminate on the 8-shard mesh.
+
+    Regression test for the MULTICHIP_r02 rc=124 livelock: with a
+    secondary ring sized small relative to the no-pilot Compton storm,
+    every lane ends up holding an unconsumed scatter event while the ring
+    is full — the ring-full backpressure then consumed no events, no lane
+    could ever retire, and refill (which drains the ring into FREE lanes)
+    never ran: occ/sec/pos frozen forever.  The engine now lifts the
+    backpressure in exactly that wedged state (process_scatters, the
+    reference's force_enqueue analogue, utils.hpp:79-83) and the sharded
+    driver raises on a frozen progress signature instead of spinning.
+    CI-runnable (no GRMONTY_SLOW gate): this is the shipped-configuration
+    multi-chip signal that round 2 lost.
+    """
+    from grmonty_tpu.models import torus
+    from grmonty_tpu.parallel import sharding
+
+    # The wedge reproduced at exactly the dryrun shapes: a 32x16 torus at
+    # M=4e19 (hot inner zones -> storm), 64-lane pools, 512-slot ring.
+    path = str(tmp_path / "torus_32x16")
+    torus.write_torus_dump(path, n1=32, n2=16)
+    cfg = engine_mod.EngineConfig(
+        n_pool=64, m_period=8, sec_cap=512, max_outer=20000,
+        stall_steps=20000, detached_events=True, grow_cap=8.0,
+        grow_rate=1.1892, refill_period=4, mxu_extract=True,
+        gather_split=2, ev_k=32, refill_k=64,
+    )
+    sim = sharding.ShardedSimulation(
+        path, photon_n=50, mass_unit=4.0e19, config=cfg,
+        emit_chunk=64 * 8, n_devices=8, warmup=0,
+    )
+    spec, stats = sim.run()
+    assert stats["n_recorded"] > 0
+    assert np.isfinite(spec[: engine_mod.N_BINS]).all()
+
+
 def _chi2_groups(spec_a, n_a, spec_b, n_b, group=20):
     """Coarse-group chi^2 between two spectra using each run's exact MC
     variance channel (sum((w e)^2), channel 13) — the same statistic as
