@@ -168,6 +168,9 @@ def main():
         "util": [round(stats.get(k, 0.0), 3) for k in
                  ("util_occupied", "util_moving", "util_committed",
                   "util_parked")],
+        # Pilot+main waves only (the tail cascade's narrow stages are
+        # excluded): [occupied, moving, committed, parked] per lane-slot.
+        "util_waves": [round(v, 3) for v in stats.get("util_waves", [])],
     }))
 
 

@@ -51,6 +51,15 @@ def build_parser():
                    help="detached scatter events: parents continue "
                    "immediately after an event instead of parking until "
                    "the periodic phase (see README deviations)")
+    p.add_argument("--cdf_sampler", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="emission via the inverse-CDF sampler (default: on; "
+                   "distribution-equivalence pinned by "
+                   "tests/test_emission_cdf.py and chi2-gated in the "
+                   "accuracy harness).  --no-cdf_sampler restores the "
+                   "reference's rejection-loop emission (harm_model.cpp:"
+                   "736-751), which pays the batch-max draw count (~1.5x "
+                   "slower end-to-end)")
     p.add_argument("--checkpoint", type=str, default="",
                    help="write a disk resume point here after every wave "
                    "and resume from it if it exists (single-device runs; "
@@ -100,12 +109,13 @@ def main(argv=None):
         sim = sharding.ShardedSimulation(
             args.harm_dump_path, photon_n=int(args.photon_n),
             mass_unit=args.mass_unit, seed=args.seed, config=cfg,
-            n_devices=args.devices,
+            n_devices=args.devices, cdf_sampler=args.cdf_sampler,
         )
     else:
         sim = driver.Simulation(
             args.harm_dump_path, photon_n=int(args.photon_n),
             mass_unit=args.mass_unit, seed=args.seed, config=cfg,
+            cdf_sampler=args.cdf_sampler,
         )
     import contextlib
 

@@ -149,6 +149,7 @@ class ShardedSimulation(driver_mod.Simulation):
                 n_retired=jnp.sum(counters.n_retired),
                 n_steps_retired=jnp.sum(counters.n_steps_retired),
                 ls_iters=jnp.sum(counters.ls_iters),
+                ls_slots=jnp.sum(counters.ls_slots),
                 ls_occupied=jnp.sum(counters.ls_occupied),
                 ls_moving=jnp.sum(counters.ls_moving),
                 ls_committed=jnp.sum(counters.ls_committed),

@@ -1099,6 +1099,9 @@ class Simulation:
             finally:
                 pool.shutdown(wait=False, cancel_futures=True)
 
+        # Snapshot the census before the tail cascade so utilization can be
+        # reported per stage (pilot+waves vs whole run incl. tail drain).
+        c_waves = jax.device_get(state.counters)
         state = self._drain_tail(state)
         if checkpoint_path and os.path.exists(checkpoint_path):
             os.remove(checkpoint_path)  # run completed; resume point stale
@@ -1118,14 +1121,35 @@ class Simulation:
             / max(float(counters.n_retired), 1.0),
         }
         # Lane-slot utilization decomposition (zero on the Pallas hot path,
-        # which does not maintain these counters).
-        slots = float(counters.ls_iters) * float(self.cfg.n_pool)
-        if slots > 0:
-            stats["hot_iters"] = int(counters.ls_iters)
-            stats["util_occupied"] = float(counters.ls_occupied) / slots
-            stats["util_moving"] = float(counters.ls_moving) / slots
-            stats["util_committed"] = float(counters.ls_committed) / slots
-            stats["util_parked"] = float(counters.ls_parked) / slots
+        # which does not maintain these counters).  ls_slots is the true
+        # denominator — counters accumulate across engine stages with
+        # different pool widths (pilot, waves, 4096/1024/256 tail cascade),
+        # so slots offered = sum of n_pool over iterations, not
+        # ls_iters * n_pool (which reported 9.5% "occupancy" for a run
+        # whose wave logs showed ~85%, BENCH_r02).  util = whole run;
+        # util_waves = pilot+main waves only (pre-tail-drain snapshot).
+        def _util(c):
+            slots = float(c.ls_slots)
+            if slots <= 0:
+                return None
+            return {
+                "hot_iters": int(c.ls_iters),
+                "occupied": float(c.ls_occupied) / slots,
+                "moving": float(c.ls_moving) / slots,
+                "committed": float(c.ls_committed) / slots,
+                "parked": float(c.ls_parked) / slots,
+            }
+
+        u_all, u_w = _util(counters), _util(c_waves)
+        if u_all:
+            stats["hot_iters"] = u_all["hot_iters"]
+            stats["util_occupied"] = u_all["occupied"]
+            stats["util_moving"] = u_all["moving"]
+            stats["util_committed"] = u_all["committed"]
+            stats["util_parked"] = u_all["parked"]
+        if u_w:
+            stats["util_waves"] = [u_w["occupied"], u_w["moving"],
+                                   u_w["committed"], u_w["parked"]]
         log.info("Final rate %.2f ph/s", stats["photon_rate"])
         log.info("Super photons: created %d, recorded %d",
                  stats["n_created"], stats["n_recorded"])

@@ -216,7 +216,9 @@ class EngineConfig(typing.NamedTuple):
     #   before its pending event is consumed parks as before (rare).
     #   Physically identical semantics, different RNG trajectory.
     #   Works with pallas_hot (capture runs in XLA on extra kernel
-    #   outputs); unsupported on the sharded path.
+    #   outputs) and on the sharded path (the shadow registers shard like
+    #   every other pool array, parallel/sharding._state_specs; exercised
+    #   by the multi-chip dryrun and tests/test_sharding.py).
     col_gather: bool = False  # gather the bilinear corner rows from the
     #   TRANSPOSED (32, n_zones) table so the hot step receives the 32
     #   components as sublane-major rows of a (32, N) array.  Motivation
@@ -372,6 +374,14 @@ class Counters(typing.NamedTuple):
     # photon), moving (alive and not parked at a scatter event), committed
     # (the geodesic attempt passed both error tests and advanced).
     ls_iters: jnp.ndarray  # int64: hot iterations accumulated
+    ls_slots: jnp.ndarray  # int64: lane-slots offered = sum of n_pool over
+    #   iterations.  The census denominator: counters carry across engine
+    #   stages with different pool widths (pilot, main waves, tail cascade
+    #   at 4096/1024/256), so dividing the sums below by ls_iters * any one
+    #   n_pool misstates utilization wildly (BENCH_r02 reported 9.5%
+    #   occupancy while the wave logs showed ~85% — the tail cascade's
+    #   thousands of narrow iterations were multiplied by the 65536-wide
+    #   main pool).
     ls_occupied: jnp.ndarray  # int64: sum over iterations of occupied lanes
     ls_moving: jnp.ndarray  # int64: sum of moving lanes
     ls_committed: jnp.ndarray  # int64: sum of committed (useful) pushes
@@ -446,8 +456,8 @@ def init_counters(max_tau_scatt_init, dtype):
         max_tau_scatt=jnp.asarray(max_tau_scatt_init, dtype),
         n_created=zi(), n_sec_drop=zi(),
         n_retired=zi(), n_steps_retired=zi(),
-        ls_iters=zi(), ls_occupied=zi(), ls_moving=zi(), ls_committed=zi(),
-        ls_parked=zi(),
+        ls_iters=zi(), ls_slots=zi(), ls_occupied=zi(), ls_moving=zi(),
+        ls_committed=zi(), ls_parked=zi(),
         avg_ema=jnp.zeros((), dtype), ema_scatt_mark=zi(), ema_rec_mark=zi(),
     )
 
@@ -457,6 +467,7 @@ def _util_counters(counters, occupied, moving, commit, parked):
     i64 = counters.ls_iters.dtype
     return counters._replace(
         ls_iters=counters.ls_iters + 1,
+        ls_slots=counters.ls_slots + occupied.shape[0],
         ls_occupied=counters.ls_occupied + jnp.sum(occupied).astype(i64),
         ls_moving=counters.ls_moving + jnp.sum(moving).astype(i64),
         ls_committed=counters.ls_committed + jnp.sum(commit).astype(i64),

@@ -75,6 +75,10 @@ def main():
     ap.add_argument("--ref-spec", default=None,
                     help="reuse a previously-written reference spectrum "
                     "file instead of re-running the reference binary")
+    ap.add_argument("--dump", default=None,
+                    help="validate on THIS HARM dump file (e.g. the real "
+                    "dump019, reference README.md:61-65) instead of a "
+                    "synthetic torus; --n1/--n2 are ignored")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -91,13 +95,20 @@ def main():
     setup("info")
     cache = os.path.join(REPO, ".cache")
     os.makedirs(cache, exist_ok=True)
-    dump = os.path.join(cache, f"torus_{args.n1}x{args.n2}_dump")
-    if not os.path.exists(dump):
-        torus.write_torus_dump(dump, n1=args.n1, n2=args.n2)
+    if args.dump:
+        dump = args.dump
+        if not os.path.exists(dump):
+            raise SystemExit(f"--dump {dump} does not exist")
+        tag = os.path.basename(dump)
+    else:
+        dump = os.path.join(cache, f"torus_{args.n1}x{args.n2}_dump")
+        if not os.path.exists(dump):
+            torus.write_torus_dump(dump, n1=args.n1, n2=args.n2)
+        tag = f"{args.n1}x{args.n2}"
 
     # --- reference binary -------------------------------------------------
     ref_spec_path = args.ref_spec or os.path.join(
-        cache, f"refspec_{args.n1}x{args.n2}_{args.photons}")
+        cache, f"refspec_{tag}_{args.photons}")
     t_ref = 0.0
     if not os.path.exists(ref_spec_path):
         build = subprocess.run([os.path.join(REPO, "tools", "refbuild.sh")],
