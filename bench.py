@@ -113,8 +113,12 @@ def main():
     # scattering per photon; VERDICT r1 #6 — the headline number should
     # not only be measured in the easiest, thin regime).
     mass_unit = float(os.environ.get("BENCH_MASS_UNIT", "4e19"))
+    # BENCH_SEED: vary the RNG stream to measure run-to-run workload
+    # variance (the biased-scattering equilibrium is path-dependent; the
+    # recorded-photon count swings ~25% between streams).
+    seed = int(os.environ.get("BENCH_SEED", "123"))
     sim = driver.Simulation(
-        dump, photon_n=photon_n, mass_unit=mass_unit, config=cfg,
+        dump, photon_n=photon_n, mass_unit=mass_unit, config=cfg, seed=seed,
         **profiles.bench_sim_kwargs(pool, ref_mode=ref_mode),
     )
     # Crash survival: checkpoint between waves, and on a fatal device error

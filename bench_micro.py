@@ -133,6 +133,15 @@ def main():
     t512, _ = timed(f512, state)
     hot_ms = (t512 - t64) / (512 - 64) * 1e3
 
+    # MICRO_TRACE=<dir>: capture an xplane profile of one 512-iteration
+    # hot-step loop at exactly this configuration (decode with
+    # tools/xplane_ops.py <dir>/**/*.xplane.pb).
+    if os.environ.get("MICRO_TRACE"):
+        tdir = os.environ["MICRO_TRACE"]
+        os.system(f"rm -rf {tdir}")
+        with jax.profiler.trace(tdir):
+            jax.block_until_ready(f512(state))
+
     # Stationary periodic-phase timing: each fori iteration runs the phase
     # on the SAME pool state (so the event/refill load doesn't decay across
     # iterations, which made the old evolving-state differencing go

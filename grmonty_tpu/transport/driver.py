@@ -94,6 +94,20 @@ class Simulation:
         # (~73 full-width rounds = 2.9 s per 1M photons on a v5e, as
         # expensive as the transport itself).  Distribution-equivalence
         # pinned by tests/test_emission_cdf.py; off = reference semantics.
+        emit_stride: bool = False,  # emit photons in a strided permutation
+        # of the zone sweep instead of zone order.  The reference's
+        # row-major sweep (harm_model.cpp:673-704) front-loads the
+        # Compton-heavy inner-torus zones into the first waves: they run
+        # a scattering storm against the still-cold bias-feedback
+        # counters whose magnitude varies ~2x run-to-run (measured
+        # n_scatt_rec 8.6M vs 15.7M at identical physics), while the
+        # late waves do no scattering at all.  A stride coprime to the
+        # total makes every wave a representative zone mix: the bias
+        # converges within the first wave and per-wave work is uniform.
+        # Scheduling-only deviation (every photon is still emitted
+        # exactly once; photon->zone assignment and sampling physics are
+        # unchanged, only the ORDER and therefore the RNG stream/bias
+        # trajectory differ); chi2-gated like every other knob.
     ):
         self.photon_n = photon_n
         self.emit_chunk = emit_chunk
@@ -103,6 +117,9 @@ class Simulation:
         self.tail_grow_cap = tail_grow_cap
         self.tail_stall_steps = tail_stall_steps
         self._cdf_sampler = cdf_sampler
+        self._emit_stride = emit_stride
+        self._stride = 0  # set by plan()
+        self._total = 0
         self.cfg = config or engine_mod.EngineConfig()
         dt = self.cfg.dtype
 
@@ -355,7 +372,31 @@ class Simulation:
         plan = emission.plan_emission(counts)
         log.info("Emission plan: %d superphotons from %d zones",
                  plan.total, int((counts > 0).sum()))
+        self._total = plan.total
+        self._stride = self._pick_stride(plan.total) if self._emit_stride else 0
+        if self._stride:
+            log.info("Emission order: strided permutation (stride %d)",
+                     self._stride)
         return plan
+
+    @staticmethod
+    def _pick_stride(total):
+        """A stride coprime to ``total`` near the golden-ratio fraction
+        (maximally uniform zone coverage within every window)."""
+        import math
+
+        s = max(1, int(total * 0.6180339887498949)) | 1
+        while math.gcd(s, total) != 1:
+            s += 2
+        return s
+
+    def _plan_index(self, start, count):
+        """Global photon indices for a [start, start+count) wave window
+        under the emission ordering (identity, or the strided permutation)."""
+        t = np.arange(start, start + count, dtype=np.int64)
+        if not self._stride:
+            return t
+        return (t * self._stride) % np.int64(self._total)
 
     def _sample(self, plan, start, count, limit=None):
         """Sample a [start, start+min(count, limit)) slice of the plan into an
@@ -363,8 +404,9 @@ class Simulation:
         that the engine drops on load; fixed shape = one engine compile).
         Returns host numpy arrays with weights pre-scaled by weight_scale."""
         stop = start + (count if limit is None else min(count, limit))
-        zi = plan.zone_i[start:stop]
-        zj = plan.zone_j[start:stop]
+        idx = self._plan_index(start, stop - start)
+        zi = plan.zone_i[idx]
+        zj = plan.zone_j[idx]
         pad = count - zi.shape[0]
         if pad:
             zi = np.concatenate([zi, np.zeros(pad, np.int32)])
@@ -455,19 +497,35 @@ class Simulation:
 
         n2 = self.mc.n2
         cum_dev = self._plan_dev
+        stride = self._stride
+        total = self._total
 
         def emit(key, start, limit):
-            # Photon t's zone z satisfies cum[z] <= t < cum[z+1] and the
-            # window's indices are consecutive, so instead of a searchsorted
-            # per lane: find the window's first zone with one scalar search,
-            # scatter a mark at every zone boundary inside the window, and
-            # cumsum the marks.
-            z0 = jnp.searchsorted(cum_dev, start, side="right") - 1
-            off = cum_dev - start  # boundary positions relative to window
-            in_win = (off > 0) & (off < chunk)
-            marks = jnp.zeros((chunk,), jnp.int32).at[
-                jnp.where(in_win, off, chunk)].add(1, mode="drop")
-            zflat = jnp.clip(z0 + jnp.cumsum(marks), 0, cum_dev.shape[0] - 2)
+            lane64 = jnp.arange(chunk, dtype=jnp.int64)
+            if stride:
+                # Strided emission order (Simulation.emit_stride): the
+                # window's global indices are scattered over the whole
+                # plan, so each lane recovers its zone with a vectorized
+                # binary search over the cumulative zone counts.
+                g = ((start.astype(jnp.int64) + lane64) * stride) % total
+                zflat = jnp.clip(
+                    jnp.searchsorted(cum_dev.astype(jnp.int64), g,
+                                     side="right") - 1,
+                    0, cum_dev.shape[0] - 2)
+            else:
+                # Zone-ordered plan: photon t's zone z satisfies
+                # cum[z] <= t < cum[z+1] and the window's indices are
+                # consecutive, so instead of a searchsorted per lane:
+                # find the window's first zone with one scalar search,
+                # scatter a mark at every zone boundary inside the
+                # window, and cumsum the marks.
+                z0 = jnp.searchsorted(cum_dev, start, side="right") - 1
+                off = cum_dev - start  # boundary positions in the window
+                in_win = (off > 0) & (off < chunk)
+                marks = jnp.zeros((chunk,), jnp.int32).at[
+                    jnp.where(in_win, off, chunk)].add(1, mode="drop")
+                zflat = jnp.clip(z0 + jnp.cumsum(marks), 0,
+                                 cum_dev.shape[0] - 2)
             zi = zflat // n2
             zj = zflat - zi * n2
             b = emission.sample_photons(
@@ -663,6 +721,56 @@ class Simulation:
                 break
             state = state._replace(it=jnp.zeros((), jnp.int32))
         return state
+
+    def _pilot_pool(self):
+        """Pilot-engine width.  The pilot's 8192 strided primaries amplify
+        through the cold-start Compton storm into ~6x their count of
+        tracked photons (50k recorded / 110k scatters measured on the
+        bench torus), so the original 1024-lane choice — sized for the
+        primaries alone — serialized the storm cohort (~37 s of the
+        measured window); 4096 lanes keeps the same narrow-engine economy
+        at ~4x the storm throughput."""
+        return min(int(os.environ.get("GRMONTY_PILOT_POOL", "4096")),
+                   self.cfg.n_pool)
+
+    def _pilot_engine(self):
+        """The pilot's own engine (compiled in _warm_compile, outside the
+        measured window).
+
+        The tail-drain engines are the wrong shape for the pilot: their
+        no-backlog cadence (m_period=64, refill_period=0) starves the pool
+        during the pilot's Compton storm — thousands of lanes die within a
+        few iterations of each far-apart maintenance phase and idle empty
+        until the next one (measured: the 8192-photon pilot took 23-48 s
+        of the bench window on the drain-stage engine).  The pilot engine
+        keeps the main engine's storm-capable cadence at the narrow width,
+        and caps orbiters early (GRMONTY_PILOT_STALL): a pilot photon
+        orbiting past ~20k steps either dies at the cap (unrecorded -> no
+        counter effect) or contributes negligibly to the warmup
+        statistics, while costing stall_steps iterations of drain time.
+        """
+        n_pilot = self._pilot_pool()
+        key = ("pilot", n_pilot)
+        if key not in self._tail_engines:
+            cfg = self.cfg._replace(
+                n_pool=n_pilot, tail_exit=256, m_period=8,
+                refill_period=(4 if self.cfg.refill_period else 0),
+                ev_k=min(n_pilot, self.cfg.ev_k or n_pilot),
+                refill_k=min(n_pilot, self.cfg.refill_k or n_pilot),
+                light_k=min(n_pilot, self.cfg.light_k or n_pilot),
+                max_outer=min(self.cfg.max_outer, 64 * self._slice_iters),
+                grow_cap=(self.tail_grow_cap if self.tail_grow_cap is not None
+                          else self.cfg.grow_cap),
+                stall_steps=int(os.environ.get("GRMONTY_PILOT_STALL",
+                                               "20000")),
+                pallas_hot=False,
+            )
+            eng = engine_mod.make_engine(self.mc, self.tables, self.prims,
+                                         cfg, geom_rows=self.geom,
+                                         derived_rows=self._derived_rows)
+            self._tail_engines[key] = (eng, jax.jit(
+                eng["run"], compiler_options=engine_mod.compiler_options(cfg)))
+        return self._tail_engines[key]
 
     def _tail_sizes(self):
         """Tail-cascade pool-size ladder.
@@ -864,6 +972,50 @@ class Simulation:
         w = np.asarray(batch.w) * self.cfg.weight_scale
         rows = engine_mod.pack_rows(batch._replace(w=w), self.cfg.dtype)
         log.info("pilot wave: %d strided photons (bias warmup)", warm)
+        # Host-sequential warmup (default): track the pilot sample with the
+        # native C++ oracle, whose per-photon counter feedback makes the
+        # cold-start storm SELF-LIMITING exactly like the reference's
+        # sequential warmup (harm_model.cpp:1391-1404 reads the counters
+        # per photon) — a batched engine launches every pilot photon at the
+        # ~6x-inflated cold bias instead and multiplies the population 16x
+        # before any feedback arrives (measured: 19-58 s of device time;
+        # the oracle does the same statistical job in ~1 s of host time
+        # and no device time at all).  Counters are plain numbers, so they
+        # transfer into the engine state directly; the pilot spectrum is
+        # dropped (its photons are re-emitted by the bulk waves anyway, so
+        # this REMOVES the old double-count).  GRMONTY_PILOT=device
+        # restores the staged on-device pilot (also the fallback when the
+        # native oracle is unavailable).
+        if os.environ.get("GRMONTY_PILOT", "host") == "host":
+            try:
+                from grmonty_tpu.transport.oracle_native import NativeTracker
+
+                t_p = time.time()
+                tracker = NativeTracker(self.mc, self.tables,
+                                        np.asarray(self.prims),
+                                        seed=self.seed + 7)
+                oracle_batch = batch._replace(
+                    w=np.asarray(batch.w, np.float64))
+                tracker.run(oracle_batch, progress_every=0)
+                c = jax.device_get(state.counters)
+                dt_c = np.asarray(c.max_tau_scatt).dtype
+                avg = tracker.n_scatt_rec / max(tracker.n_recorded, 1)
+                c = c._replace(
+                    n_recorded=np.int64(tracker.n_recorded),
+                    n_scatt_rec=np.int64(tracker.n_scatt_rec),
+                    max_tau_scatt=np.asarray(tracker.max_tau_scatt, dt_c),
+                    avg_ema=np.asarray(avg, dt_c),
+                    ema_scatt_mark=np.int64(tracker.n_scatt_rec),
+                    ema_rec_mark=np.int64(tracker.n_recorded),
+                )
+                log.info(
+                    "pilot done (host oracle, %.1f s): rec=%d scatt=%d "
+                    "max_tau=%.3g", time.time() - t_p, tracker.n_recorded,
+                    tracker.n_scatt_rec, tracker.max_tau_scatt)
+                return state._replace(counters=jax.device_put(c))
+            except Exception as err:  # noqa: BLE001 - fall back to device
+                log.warning("host-oracle pilot unavailable (%s); "
+                            "falling back to device pilot", err)
         # The pilot runs in a NARROW engine (the 1024-wide tail-cascade
         # size): its only product is warmed counters, and full-width
         # iterations for <= warm photons cost ~4 s of the measured window
@@ -872,26 +1024,63 @@ class Simulation:
         # directly; pilot stragglers past the exit occupancy are simply
         # abandoned (the strided photons are re-emitted by their bulk
         # waves anyway — abandoning reduces the warm/total double-count).
-        n_pilot = min(1024, self.cfg.n_pool)
         if self.cfg.n_pool > 2048:
-            eng, run = self._tail_engine(n_pilot, 256)
+            eng, run = self._pilot_engine()
             self.key, kp = random.split(self.key)
             pstate = eng["fresh_state"](kp)
             pstate = pstate._replace(counters=state.counters)
-            nv = np.int32(rows.shape[0])
-            te = np.int32(max(16, warm // 64))
-            it = 0
-            while True:
-                pstate = run(pstate._replace(it=jnp.zeros((), jnp.int32)),
-                             jnp.asarray(rows), te, nv)
-                occ, pos, sec = (int(x) for x in jax.device_get(
-                    (pstate.pool.occupied.sum(), pstate.backlog_pos,
-                     pstate.sec.count)))
-                it += 1
-                log.info("pilot slice %d: occ=%d pos=%d sec=%d", it, occ,
-                         pos, sec)
-                if (pos >= int(nv) and sec == 0 and occ <= int(te)) or it > 64:
-                    break
+            # Two-stage warmup.  Launching all `warm` photons at once runs
+            # the ENTIRE batch at the ~6x-inflated cold-start bias
+            # (max_tau_scatt0 is 3.8x below its converged value and
+            # avg_n_scatt starts at 0): every pilot photon scattered ~36
+            # times (296k scatters / 16x population multiplication for
+            # 8192 primaries, 46 s of the measured window).  The reference
+            # never pays this: its SEQUENTIAL warmup converges the
+            # counters within the first ~100 recorded photons
+            # (harm_model.cpp:1391-1404 reads them per photon).  Stage 1
+            # reproduces that: a tiny strided batch storms cheaply and
+            # converges the counters; stage 2 then runs the remaining
+            # pilot photons at the warmed bias for statistical power.
+            stage1 = min(256, rows.shape[0])
+            rows_dev = jnp.asarray(rows)
+            # Stage 1 runs in the NARROWEST drain-cascade engine (already
+            # compiled): its cold-start storm holds only a few hundred
+            # live lanes, and a 4096-wide engine pays full-width
+            # maintenance-phase gathers for them (measured: 18 s at 4096
+            # lanes vs ~2 s at 256).  Stage 2 (warm bias, ~5x the
+            # population) runs in the 4096-wide pilot engine.
+            sizes = self._tail_sizes()
+            eng1, run1 = self._tail_engine(sizes[-1], 0)
+            stages = [(eng1, run1, 0, stage1, np.int32(32))]
+            if rows.shape[0] > stage1:
+                stages.append((eng, run, stage1, rows.shape[0],
+                               np.int32(max(16, warm // 64))))
+            counters = pstate.counters
+            spec_carry = None
+            for s_i, (s_eng, s_run, lo, hi, te) in enumerate(stages):
+                self.key, ks = random.split(self.key)
+                pstate = s_eng["fresh_state"](ks)._replace(
+                    counters=counters,
+                    backlog_pos=jnp.asarray(lo, jnp.int32))
+                if spec_carry is not None:
+                    pstate = pstate._replace(spec=pstate.spec + spec_carry)
+                nv = np.int32(hi)
+                it = 0
+                while True:
+                    pstate = s_run(
+                        pstate._replace(it=jnp.zeros((), jnp.int32)),
+                        rows_dev, te, nv)
+                    occ, pos, sec = (int(x) for x in jax.device_get(
+                        (pstate.pool.occupied.sum(), pstate.backlog_pos,
+                         pstate.sec.count)))
+                    it += 1
+                    log.info("pilot stage %d slice %d: occ=%d pos=%d sec=%d",
+                             s_i + 1, it, occ, pos, sec)
+                    if (pos >= int(nv) and sec == 0 and occ <= int(te)) \
+                            or it > 64:
+                        break
+                counters = pstate.counters
+                spec_carry = pstate.spec
             self.spec_acc += np.asarray(
                 jax.device_get(pstate.spec), np.float64)
             counters = jax.device_get(pstate.counters)
@@ -925,17 +1114,29 @@ class Simulation:
         state = self.engine["fresh_state"](k0)
         jax.block_until_ready(
             self._run_jit(state, zero_backlog, np.int32(0), np.int32(0)))
-        # The tail-drain cascade engines (driver._drain_tail stage sizes).
+        # The tail-drain cascade engines (driver._drain_tail stage sizes)
+        # AND their gather/merge/census jits: the three per-stage drain
+        # programs gather/scatter ~45 pool leaves each and cost ~20 s of
+        # cold compiles — paid INSIDE the measured window when not warmed
+        # (the r3 cold-cache bench lost ~25 s of its 95 s elapsed there).
         one_row = jnp.zeros((1, engine_mod.ROW_WIDTH), self.cfg.dtype)
         sizes = self._tail_sizes()
         for si, n_t in enumerate(sizes):
             exit_occ = sizes[si + 1] if si + 1 < len(sizes) else 0
             eng, run = self._tail_engine(n_t, exit_occ)
             jax.block_until_ready(run(eng["fresh_state"](k0), one_row))
-        # The narrow pilot engine at its (warm, 16) backlog shape.
+            gather_fn, merge_fn, census = self._drain_jits(n_t)
+            small, wide = gather_fn(state.pool)
+            jax.block_until_ready(merge_fn(wide, small))
+            jax.block_until_ready(census(state.pool, state.sec))
+        # The device-pilot engine at its (warm, 16) backlog shape — only
+        # when the device pilot is selected: the default host-oracle
+        # warmup (see _run_pilot) needs no engine at all, and this compile
+        # is a whole extra engine (~1-2 min through the tunnel).
         warm = min(self.warmup, plan.total)
-        if self.cfg.n_pool > 2048 and warm > 0:
-            eng, run = self._tail_engine(min(1024, self.cfg.n_pool), 256)
+        if (self.cfg.n_pool > 2048 and warm > 0
+                and os.environ.get("GRMONTY_PILOT", "host") != "host"):
+            eng, run = self._pilot_engine()
             jax.block_until_ready(run(
                 eng["fresh_state"](k0),
                 jnp.zeros((warm, engine_mod.ROW_WIDTH), self.cfg.dtype)))

@@ -110,6 +110,12 @@ def bench_sim_kwargs(pool, ref_mode=False, env=None):
         # batched rejection loops pay the batch-max draw count (~73
         # full-width rounds, 2.9 s per 1M-photon wave on v5e).
         cdf_sampler=knob_b(env, "BENCH_CDF", ref_mode),
+        # Strided emission order (driver.Simulation.emit_stride): every
+        # wave sees a representative zone mix instead of the row-major
+        # sweep's front-loaded Compton-heavy inner zones — uniform
+        # per-wave work, fast bias convergence, and ~2x less run-to-run
+        # scattering-work variance.
+        emit_stride=knob_b(env, "BENCH_STRIDE", ref_mode),
         wave_tail_exit=pool,
         tail_grow_cap=(float(env["BENCH_TAIL_GROW"])
                        if "BENCH_TAIL_GROW" in env

@@ -24,6 +24,29 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy tier (multi-minute engine compiles / long transport "
+        "runs); deselected by default — run with GRMONTY_SLOW=1 or "
+        "-m slow.  The fast tier (everything unmarked) must stay under "
+        "~10 min on a single core and keeps full shipped-configuration "
+        "coverage (incl. the sharded bench-knob regression test).",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("GRMONTY_SLOW", "0") == "1":
+        return  # run everything
+    if config.getoption("-m"):
+        return  # explicit marker selection wins
+    skip_slow = pytest.mark.skip(
+        reason="slow tier: set GRMONTY_SLOW=1 or use -m slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)
+
+
 @pytest.fixture(scope="session")
 def jnu_tables():
     from grmonty_tpu.utils import cache

@@ -17,6 +17,10 @@ from jax import random
 
 from grmonty_tpu.transport import engine as engine_mod
 
+# Heavy tier: multi-minute engine compiles / long transport runs on the
+# single-core CI host (tests/conftest.py tiering).
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def pair(tmp_path_factory):

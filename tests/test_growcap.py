@@ -13,6 +13,10 @@ import pytest
 
 from grmonty_tpu.transport import engine as engine_mod
 
+# Heavy tier: multi-minute engine compiles / long transport runs on the
+# single-core CI host (tests/conftest.py tiering).
+pytestmark = pytest.mark.slow
+
 
 def _run(tmp_path_factory, grow):
     from grmonty_tpu.models import torus

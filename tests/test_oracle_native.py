@@ -23,6 +23,10 @@ from grmonty_tpu.ops import fluid, geometry, radiation
 from grmonty_tpu.transport import cpu_reference
 from grmonty_tpu.transport.oracle_native import NativeTracker
 
+# Heavy tier: multi-minute engine compiles / long transport runs on the
+# single-core CI host (tests/conftest.py tiering).
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def sim(tmp_path_factory):

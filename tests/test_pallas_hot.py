@@ -19,6 +19,10 @@ from jax import random
 from grmonty_tpu.models import torus
 from grmonty_tpu.transport import driver, engine
 
+# Heavy tier: multi-minute engine compiles / long transport runs on the
+# single-core CI host (tests/conftest.py tiering).
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def sims():

@@ -136,10 +136,9 @@ def _chi2_groups(spec_a, n_a, spec_b, n_b, group=20):
     return chi2, int(use.sum())
 
 
-@pytest.mark.skipif(os.environ.get("GRMONTY_SLOW", "0") != "1",
-                    reason="two cold engine compiles (~30 min on a 1-core "
-                    "host); run with GRMONTY_SLOW=1 — results recorded in "
-                    "MULTICHIP artifacts")
+@pytest.mark.slow  # two cold engine compiles (~30 min on a 1-core host);
+# results recorded in the MULTICHIP artifacts.  The CI-fast shipped-config
+# signal is test_sharded_bench_knobs_terminate above.
 def test_sharded_chi2_parity_bench_profile(dumps):
     """Statistical-power parity: a 1200-photon sharded run (8 shards, the
     bench profile's deviation knobs incl. detached_events — newly

@@ -13,6 +13,10 @@ from grmonty_tpu import consts
 from grmonty_tpu.ops import emission, fluid, geometry, scattering, tetrads
 from grmonty_tpu.transport import engine as engine_mod
 
+# Heavy tier: multi-minute engine compiles / long transport runs on the
+# single-core CI host (tests/conftest.py tiering).
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def sim(tmp_path_factory):
