@@ -253,7 +253,10 @@ class Simulation:
         cpu = jax.devices("cpu")[0]
         self._cpu_dev = cpu
         put = jax.device_put
-        self.prims = put(h["prims"])
+        # prims stay HOST numpy: every consumer (corner-table builds, the
+        # native oracle, tests) reads them via np.asarray — a device copy
+        # cost one 4 MB device_get round-trip per engine build.
+        self.prims = np.asarray(h["prims"])
         self.g_det_z = put(h["g_det_z"])
         if self.cfg.interp_geom:
             geom9 = fluid.pack_geom9(h["geom"], self.mc.n1, self.mc.n2)
@@ -289,9 +292,16 @@ class Simulation:
             tail_exit=self._wave_tail_exit,
             max_outer=min(self.cfg.max_outer, self._slice_iters),
         )
+        # One set of device tables shared by the main + pilot + tail
+        # engines (engine_mod.EngineTables: rebuilding them per engine
+        # re-shipped ~28 MB through the tunnel per engine).
+        self._engine_tabs = engine_mod.build_engine_tables(
+            self.mc, self.tables, self.prims, wave_cfg,
+            derived_rows=self._derived_rows)
         self.engine = engine_mod.make_engine(self.mc, self.tables, self.prims,
                                              wave_cfg, geom_rows=self.geom,
-                                             derived_rows=self._derived_rows)
+                                             derived_rows=self._derived_rows,
+                                             prebuilt=self._engine_tabs)
         # donation disabled: faults the axon TPU runtime
         self._run_jit = jax.jit(self.engine["run"],
                                 compiler_options=engine_mod.compiler_options(self.cfg))
@@ -767,7 +777,8 @@ class Simulation:
             )
             eng = engine_mod.make_engine(self.mc, self.tables, self.prims,
                                          cfg, geom_rows=self.geom,
-                                         derived_rows=self._derived_rows)
+                                         derived_rows=self._derived_rows,
+                                         prebuilt=self._engine_tabs)
             self._tail_engines[key] = (eng, jax.jit(
                 eng["run"], compiler_options=engine_mod.compiler_options(cfg)))
         return self._tail_engines[key]
@@ -816,7 +827,8 @@ class Simulation:
             )
             eng = engine_mod.make_engine(self.mc, self.tables, self.prims, cfg,
                                          geom_rows=self.geom,
-                                         derived_rows=self._derived_rows)
+                                         derived_rows=self._derived_rows,
+                                         prebuilt=self._engine_tabs)
             self._tail_engines[key] = (eng, jax.jit(
                 eng["run"], compiler_options=engine_mod.compiler_options(cfg)))
         return self._tail_engines[key]
@@ -941,6 +953,53 @@ class Simulation:
                 )
         return state
 
+    def _host_warm_counters(self, batch, counters_dev):
+        """Sequential host-oracle warmup: track a pilot InitPhotons batch
+        with the native C++ tracker and return the engine Counters with
+        the converged bias-feedback state injected (None on failure — the
+        caller falls back to the device pilot).  Shared by the single-chip
+        and the sharded drivers."""
+        try:
+            from grmonty_tpu.transport.oracle_native import NativeTracker
+
+            t_p = time.time()
+            tracker = NativeTracker(self.mc, self.tables,
+                                    np.asarray(self.prims),
+                                    seed=self.seed + 7)
+            oracle_batch = batch._replace(w=np.asarray(batch.w, np.float64))
+            tracker.run(oracle_batch, progress_every=0)
+            c = jax.device_get(counters_dev)
+            dt_c = np.asarray(c.max_tau_scatt).dtype
+            avg = tracker.n_scatt_rec / max(tracker.n_recorded, 1)
+            c = c._replace(
+                n_recorded=np.int64(tracker.n_recorded),
+                n_scatt_rec=np.int64(tracker.n_scatt_rec),
+                max_tau_scatt=np.asarray(tracker.max_tau_scatt, dt_c),
+                avg_ema=np.asarray(avg, dt_c),
+                ema_scatt_mark=np.int64(tracker.n_scatt_rec),
+                ema_rec_mark=np.int64(tracker.n_recorded),
+            )
+            log.info(
+                "pilot done (host oracle, %.1f s): rec=%d scatt=%d "
+                "max_tau=%.3g", time.time() - t_p, tracker.n_recorded,
+                tracker.n_scatt_rec, tracker.max_tau_scatt)
+            return c
+        except Exception as err:  # noqa: BLE001 - fall back to device
+            log.warning("host-oracle pilot unavailable (%s); "
+                        "falling back to device pilot", err)
+            return None
+
+    def _pilot_batch(self, plan, warm):
+        """Strided pilot sample (host numpy InitPhotons, raw weights)."""
+        idx = np.asarray(np.linspace(0, plan.total - 1, warm), np.int64)
+        zi = plan.zone_i[idx]
+        zj = plan.zone_j[idx]
+        self.key, k = random.split(self.key)
+        return jax.device_get(self._sample_jit(
+            jax.device_put(np.asarray(k), self._cpu_dev),
+            jax.device_put(zi, self._cpu_dev),
+            jax.device_put(zj, self._cpu_dev)))
+
     def _run_pilot(self, state, plan, warm, t0):
         """Bias-feedback warmup: track a STRIDED sample of the emission
         plan until the pool drains, so the scattering-bias counters
@@ -961,14 +1020,7 @@ class Simulation:
         (the reference's sequential warmup has no such overlap): a
         warm/total ~ 1e-4 weight double-count, far below MC noise.
         """
-        idx = np.asarray(np.linspace(0, plan.total - 1, warm), np.int64)
-        zi = plan.zone_i[idx]
-        zj = plan.zone_j[idx]
-        self.key, k = random.split(self.key)
-        batch = jax.device_get(self._sample_jit(
-            jax.device_put(np.asarray(k), self._cpu_dev),
-            jax.device_put(zi, self._cpu_dev),
-            jax.device_put(zj, self._cpu_dev)))
+        batch = self._pilot_batch(plan, warm)
         w = np.asarray(batch.w) * self.cfg.weight_scale
         rows = engine_mod.pack_rows(batch._replace(w=w), self.cfg.dtype)
         log.info("pilot wave: %d strided photons (bias warmup)", warm)
@@ -987,35 +1039,9 @@ class Simulation:
         # restores the staged on-device pilot (also the fallback when the
         # native oracle is unavailable).
         if os.environ.get("GRMONTY_PILOT", "host") == "host":
-            try:
-                from grmonty_tpu.transport.oracle_native import NativeTracker
-
-                t_p = time.time()
-                tracker = NativeTracker(self.mc, self.tables,
-                                        np.asarray(self.prims),
-                                        seed=self.seed + 7)
-                oracle_batch = batch._replace(
-                    w=np.asarray(batch.w, np.float64))
-                tracker.run(oracle_batch, progress_every=0)
-                c = jax.device_get(state.counters)
-                dt_c = np.asarray(c.max_tau_scatt).dtype
-                avg = tracker.n_scatt_rec / max(tracker.n_recorded, 1)
-                c = c._replace(
-                    n_recorded=np.int64(tracker.n_recorded),
-                    n_scatt_rec=np.int64(tracker.n_scatt_rec),
-                    max_tau_scatt=np.asarray(tracker.max_tau_scatt, dt_c),
-                    avg_ema=np.asarray(avg, dt_c),
-                    ema_scatt_mark=np.int64(tracker.n_scatt_rec),
-                    ema_rec_mark=np.int64(tracker.n_recorded),
-                )
-                log.info(
-                    "pilot done (host oracle, %.1f s): rec=%d scatt=%d "
-                    "max_tau=%.3g", time.time() - t_p, tracker.n_recorded,
-                    tracker.n_scatt_rec, tracker.max_tau_scatt)
-                return state._replace(counters=jax.device_put(c))
-            except Exception as err:  # noqa: BLE001 - fall back to device
-                log.warning("host-oracle pilot unavailable (%s); "
-                            "falling back to device pilot", err)
+            warmed = self._host_warm_counters(batch, state.counters)
+            if warmed is not None:
+                return state._replace(counters=jax.device_put(warmed))
         # The pilot runs in a NARROW engine (the 1024-wide tail-cascade
         # size): its only product is warmed counters, and full-width
         # iterations for <= warm photons cost ~4 s of the measured window

@@ -821,8 +821,60 @@ def hot_phase_b(rows, x, k, dkdlam, e_0_s, w, alpha_scatti, alpha_absi, bi,
     )
 
 
+class EngineTables(typing.NamedTuple):
+    """Device-resident per-dump tables shared by every engine instance.
+
+    A production run builds 4-6 engines (main + pilot + tail cascade);
+    building these tables inside each make_engine re-shipped ~28 MB of
+    device arrays and one synchronous prims device_get PER ENGINE through
+    the (slow) tunneled runtime.  The driver builds them once and passes
+    ``prebuilt=``; engines differing only in scheduling knobs (pool width,
+    cadence, caps) share the same tables.
+    """
+
+    hc_coeffs: jnp.ndarray  # Chebyshev hotcross surrogate, device
+    k2_coeffs: np.ndarray  # host (unrolled into the FMA chain)
+    corner_rows: jnp.ndarray  # (Z, 32) packed bilinear corners, device
+    corner_rowsT: jnp.ndarray | None  # transposed copy (col_gather only)
+    hot_tab: jnp.ndarray  # hot-step table (derived or primitive corners)
+
+
+def build_engine_tables(mc, tables: Tables, prims, cfg: EngineConfig,
+                        derived_rows=None) -> EngineTables:
+    """Build the device tables one make_engine needs (see EngineTables).
+
+    ``prims`` may be host numpy (preferred: avoids a device_get) or a
+    device array.  The tables depend only on (dump, dtype,
+    derived_fluid/col_gather flags) — engines differing in scheduling
+    knobs share them.
+    """
+    dt = cfg.dtype
+    hc_coeffs = jnp.asarray(cheb.fit_hotcross(np.asarray(tables.hotcross)),
+                            dt)
+    k2_coeffs = np.asarray(cheb.fit_k2())
+    corner_np = fluid.make_corner_table(np.asarray(prims), mc.n1, mc.n2)
+    corner_rows = jnp.asarray(corner_np, dt)
+    # Transposed copy only when the col_gather A/B knob wants it (8 MB of
+    # tunnel traffic otherwise wasted on a default-off path).
+    corner_rowsT = (jnp.asarray(np.ascontiguousarray(corner_np.T), dt)
+                    if cfg.col_gather else None)
+    # Hot-step table: the derived-fluid rows replace the primitive corners
+    # in the hot iteration only; the periodic-phase physics (scatter
+    # kinematics, init) keeps the exact primitive path.
+    if cfg.derived_fluid:
+        if derived_rows is None:  # standalone fallback (tests); the driver
+            # passes the rows packed from its cached zone-state products
+            derived_rows = fluid.make_derived_corner_table(
+                np.asarray(prims), mc)
+        hot_tab = jnp.asarray(derived_rows, dt)
+    else:
+        hot_tab = corner_rows
+    return EngineTables(hc_coeffs, k2_coeffs, corner_rows, corner_rowsT,
+                        hot_tab)
+
+
 def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
-                geom_rows=None, derived_rows=None):
+                geom_rows=None, derived_rows=None, prebuilt=None):
     """Build the jitted transport step functions for one dump.
 
     ``prims``: (8, n1, n2) primitives on device.  ``geom_rows``: the
@@ -844,30 +896,20 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
     d_tau_k = mc.d_tau_k
     weight_min = consts.WEIGHT_MIN * cfg.weight_scale
 
-    # Chebyshev surrogates for the hot-loop table lookups (host fit, once).
-    hc_coeffs = jnp.asarray(cheb.fit_hotcross(np.asarray(tables.hotcross)), dt)
-    k2_coeffs = np.asarray(cheb.fit_k2())  # unrolled into the FMA chain
-
-    # Packed bilinear-corner table: ONE gather per hot step (see fluid.py).
-    corner_np = fluid.make_corner_table(np.asarray(prims), mc.n1, mc.n2)
-    corner_rows = jnp.asarray(corner_np, dt)
-    # Transposed copy for the hot step's column gather (col_gather).
-    corner_rowsT = jnp.asarray(np.ascontiguousarray(corner_np.T), dt)
-    # Hot-step table: the derived-fluid rows replace the primitive corners
-    # in the hot iteration only; the periodic-phase physics (scatter
-    # kinematics, init) keeps the exact primitive path.
-    if cfg.derived_fluid:
-        if (cfg.col_gather or cfg.interp_geom or cfg.fluid_cache
-                or cfg.pallas_hot or dbg):
-            raise ValueError("derived_fluid supports only the shared XLA "
-                             "hot path")
-        if derived_rows is None:  # standalone fallback (tests); the driver
-            # passes the rows packed from its cached zone-state products
-            derived_rows = fluid.make_derived_corner_table(
-                np.asarray(prims), mc)
-        hot_tab = jnp.asarray(derived_rows, dt)
-    else:
-        hot_tab = corner_rows
+    if prebuilt is None:
+        prebuilt = build_engine_tables(mc, tables, prims, cfg,
+                                       derived_rows=derived_rows)
+    hc_coeffs = prebuilt.hc_coeffs
+    k2_coeffs = prebuilt.k2_coeffs
+    corner_rows = prebuilt.corner_rows
+    corner_rowsT = prebuilt.corner_rowsT
+    if cfg.col_gather and corner_rowsT is None:
+        corner_rowsT = jnp.asarray(corner_rows).T  # prebuilt lacked it
+    hot_tab = prebuilt.hot_tab
+    if cfg.derived_fluid and (cfg.col_gather or cfg.interp_geom
+                              or cfg.fluid_cache or cfg.pallas_hot or dbg):
+        raise ValueError("derived_fluid supports only the shared XLA "
+                         "hot path")
     hot_w = int(hot_tab.shape[1])
     _eye_hot = np.eye(hot_w, dtype=np.dtype(dt))
 

@@ -165,22 +165,33 @@ def main():
                 break
         return state
 
-    # Pilot warmup, exactly like driver.run(): the scattering-bias
-    # feedback counters (max_tau_scatt, avg n_scatt) start cold, and a
-    # batch engine that launches the WHOLE sample cold runs every photon
-    # at the huge initial bias — measured rec_ratio ~2.0 vs the
-    # sequential oracle, whose counters warm within its first few dozen
-    # photons.  Draining a small pilot sub-wave first equilibrates the
-    # counters the same way the production driver (and, implicitly, the
-    # sequential reference) does.
-    warm = min(256, n_orc)
-    if warm < n_orc:
-        state = drive(state, warm, max(1, sim.cfg.n_pool // 16))
+    # Pilot warmup, exactly like driver.run(): the production driver warms
+    # the bias-feedback counters with a SEQUENTIAL host-oracle pilot
+    # (driver._host_warm_counters) whose per-photon feedback mirrors the
+    # reference's own warmup dynamics.  The old batch-parallel pilot here
+    # equilibrated at a different (higher-bias) operating point: in the
+    # optically-thick regime (M=4e20) the engine recorded 2.2x the
+    # oracle's photon count (ACCURACY_r2_thick.json rec_ratio 2.21) purely
+    # from that warmup mismatch.  The warmup oracle runs at seed+7; the
+    # comparison oracle below at seed+1 — independent streams.
+    warm = min(512, n_orc)
+    wbatch = jax.tree.map(lambda a: np.asarray(a)[:warm],
+                          jax.device_get(batch))
+    wbatch = wbatch._replace(
+        w=np.asarray(wbatch.w, np.float64) / sim.cfg.weight_scale)
+    warmed = sim._host_warm_counters(wbatch, state.counters)
+    if warmed is not None:
+        state = state._replace(counters=jax.device_put(warmed))
+    else:  # no native oracle: fall back to the old batch pilot
+        if warm < n_orc:
+            state = drive(state, warm, max(1, sim.cfg.n_pool // 16))
     state = drive(state, rows.shape[0], min(256, sim.cfg.n_pool))
     state = sim._drain_tail(state)
     t_eng = time.time() - t0
     n_eng = n_orc
-    n_rec_e = int(state.counters.n_recorded)
+    # counters started at the warmup-oracle's totals; engine-only count:
+    warm_rec = int(warmed.n_recorded) if warmed is not None else 0
+    n_rec_e = int(state.counters.n_recorded) - warm_rec
     spec_e = driver.unscale_spectrum(
         np.asarray(jax.device_get(state.spec), np.float64),
         sim.cfg.weight_scale,
