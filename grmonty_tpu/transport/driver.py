@@ -414,7 +414,11 @@ class Simulation:
         that the engine drops on load; fixed shape = one engine compile).
         Returns host numpy arrays with weights pre-scaled by weight_scale."""
         stop = start + (count if limit is None else min(count, limit))
-        idx = self._plan_index(start, stop - start)
+        # Clamp to the plan like the old [start:stop] slice did (the last
+        # wave's window may overhang the total; overhang rows become
+        # zero-weight padding below).
+        n_real = max(0, min(stop, plan.total) - start)
+        idx = self._plan_index(start, n_real)
         zi = plan.zone_i[idx]
         zj = plan.zone_j[idx]
         pad = count - zi.shape[0]
