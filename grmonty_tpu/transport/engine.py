@@ -176,15 +176,35 @@ class EngineConfig(typing.NamedTuple):
     #   Scheduling-only deviation: photons' physics is untouched (same
     #   trajectories modulo RNG stream assignment); chi2-gated like every
     #   other knob.  Must divide m_period; 4 is the measured sweet spot.
-    grow_tau_cap: float = 0.25  # when grow_cap > 1, additionally cap the
-    #   grown segment so the per-step BIASED scattering depth
-    #   bias * alpha_scatt * d_tau_k * seg stays below this value.  The
-    #   geodesic error tests gate growth geometrically, but the scatter
-    #   decision and trapezoid opacity are per-step linearizations whose
-    #   accuracy degrades with dtau per step: at 20k-photon chi^2 power
-    #   the f32+grow_cap=8 profile showed a +4% luminosity bias
-    #   concentrated in the Compton-tail groups (1.5-1.9x) without this
-    #   cap.  Thin regions (where growth pays) are untouched.  0 = off.
+    grow_tau_cap: float = 0.01  # when grow_cap > 1, bound the optical
+    #   depth a GROWN step may carry, three ways (all off at 0):
+    #   (1) a-priori: cap the grown segment so the per-step BIASED
+    #   scattering depth bias * alpha_scatt * d_tau_k * seg stays below
+    #   this value (hot_phase_a; the geodesic error tests gate growth
+    #   geometrically, but the scatter decision and trapezoid opacity are
+    #   per-step linearizations whose accuracy degrades with dtau per
+    #   step: at 20k-photon chi^2 power the f32+grow_cap=8 profile showed
+    #   a +4% luminosity bias concentrated in the Compton-tail groups
+    #   without it);
+    #   (2) a-posteriori: a lane whose REALIZED step depth exceeded the
+    #   cap loses its growth next step (the a-priori cap reads the stale
+    #   start-of-step alpha);
+    #   (3) vacuum->matter ENTRY rollback: a grown step from zero
+    #   opacities landing in matter is rolled back and retried at nominal
+    #   size — its trapezoid (0 + alpha_landing)/2 * grown_seg
+    #   overestimates the true path depth by up to the growth factor, and
+    #   those inflated depths on rare recorded deep photons ratchet
+    #   max_tau_scatt (the bias normalization) far above the oracle's
+    #   seed-stable value (measured 0.019 vs 0.0024 at M=4e19, halving
+    #   the recorded-secondary population).  Thin regions (where growth
+    #   pays) are untouched.
+    #   Default 0.01 (was 0.25): a single in-matter grown step at the old
+    #   cap could legitimately add dtau 0.25 — 100x the oracle's
+    #   seed-stable MAX total path depth at M=4e19 — so deep-core
+    #   orbiters still produced ratchet outliers (a recorded tau 0.22).
+    #   At 0.01 the cap binds only lanes whose step would carry >= 4x the
+    #   oracle's whole-path maximum; typical in-core steps carry
+    #   1e-5..1e-4 and keep their full growth.
     grow_cap: float = 1.0  # upper clamp on the per-lane adaptive step
     #   factor dl_shrink.  1.0 (default) = reference semantics: a lane's
     #   step never exceeds the nominal step_size (harm_model.cpp:1620-30).
@@ -667,6 +687,9 @@ def hot_phase_a(x, k, dkdlam, e_0_s, dl_shrink, pend_dl, pend_push, at_event,
         alive=alive_n, w=w_n, record_pending=record_pending_n,
         seg=seg, commit=commit, moving=moving, was_pend=was_pend,
         arrived=arrived, stopped=stopped, z=z,
+        # Whether this step ran GROWN (input dl_shrink above nominal) —
+        # phase B's vacuum->matter entry rollback needs it (see tau_cap).
+        grown=~pend_push & (dl_shrink > 1.0),
     )
 
 
@@ -676,7 +699,7 @@ def hot_phase_b(rows, x, k, dkdlam, e_0_s, w, alpha_scatti, alpha_absi, bi,
                 x_pre, k_pre, dk_pre, e0s_pre,
                 seg, commit, moving, was_pend, stopped, u_x1, bias_scale,
                 mc, hc_coeffs, k2_coeffs, weight_min, stall_steps,
-                derived=False):
+                derived=False, tau_cap=0.0, grown=None):
     """Post-gather half of the hot iteration (harm_model.cpp:937-1056).
 
     ``rows``: the gathered bilinear corner rows at the new position — a
@@ -689,8 +712,17 @@ def hot_phase_b(rows, x, k, dkdlam, e_0_s, w, alpha_scatti, alpha_absi, bi,
     Pure and elementwise given the gathered rows — shared verbatim
     between the XLA engine and the fused Pallas kernel.  Returns a dict
     of the final field values.
+
+    The interaction gate is per-step (landing-position fluid state), NOT
+    the carried ``interacting`` flag: the reference re-evaluates
+    ``n_e > 0`` at every step (harm_model.cpp:937-956), so a photon that
+    leaves the torus and re-enters on a lensed orbit resumes interacting.
+    The old sticky flag (cleared at the first outside step, never re-set)
+    silently froze re-entrant orbiters' opacities — they accumulated no
+    further tau and could never scatter again.  The flag still rides in
+    the pool for the dead-branch trailing-edge bookkeeping below.
     """
-    inter = moving & commit & ~was_pend & ~stopped & interacting
+    inter = moving & commit & ~was_pend & ~stopped
 
     # Bilinear fluid blend (fluid.get_fluid_params_c without the gather).
     # ``rows``: a 32-tuple of (N,) columns, or an (..., 32) array.  Layout
@@ -753,6 +785,29 @@ def hot_phase_b(rows, x, k, dkdlam, e_0_s, w, alpha_scatti, alpha_absi, bi,
     ) / consts.TP_OVER_TE
 
     dead_branch = bound | (nu < 0.0)
+
+    # Vacuum->matter ENTRY rollback for grown steps (EngineConfig
+    # .grow_tau_cap rationale): a lane flying with zero opacities whose
+    # GROWN (up to grow_cap x nominal) step lands inside the torus gets
+    # its optical depth from the trapezoid (0 + alpha_landing)/2 * seg —
+    # overestimating the true path contribution by up to the growth
+    # factor, since only the tail of the stride was in matter.  These
+    # inflated depths ratchet the global max_tau_scatt (the bias
+    # normalization) through rare recorded deep photons: measured at
+    # M=4e19, engine max_tau 0.019 vs a seed-stable oracle 0.0024, which
+    # halves the recorded-secondary population.  Entry steps are RARE per
+    # lane lifetime, so the committed stride is simply rolled back and
+    # retried at nominal size next iteration (phase A's reference-size
+    # trapezoid then bounds the entry error exactly as the reference's
+    # own does); in-matter growth stays bounded by the a-priori cap with
+    # a valid (nonzero) start-of-step alpha.
+    entry_roll = jnp.zeros_like(inter)
+    if tau_cap > 0.0 and grown is not None:
+        entry_roll = (inter & grown & ~dead_branch
+                      & (alpha_scatti <= 0.0) & (alpha_absi <= 0.0)
+                      & (n_e > 0.0))
+        inter = inter & ~entry_roll
+
     half = 0.5 * mc.d_tau_k * seg
     d_tau_scatt = jnp.where(
         dead_branch, alpha_scatti * half, (alpha_scatti + a_scf) * half)
@@ -783,15 +838,32 @@ def hot_phase_b(rows, x, k, dkdlam, e_0_s, w, alpha_scatti, alpha_absi, bi,
     w_n = jnp.where(inter & ~absorbed, w * decay, w)
 
     roll = scatter & ~absorbed
-    x_n = tuple(jnp.where(roll, xp, xc) for xp, xc in zip(x_pre, x))
-    k_n = tuple(jnp.where(roll, kp, kc) for kp, kc in zip(k_pre, k))
-    dk_n = tuple(jnp.where(roll, dp, dc) for dp, dc in zip(dk_pre, dkdlam))
-    e0s_n = jnp.where(roll, e0s_pre, e_0_s)
+    roll_any = roll | entry_roll  # both restore the pre-step state
+    x_n = tuple(jnp.where(roll_any, xp, xc) for xp, xc in zip(x_pre, x))
+    k_n = tuple(jnp.where(roll_any, kp, kc) for kp, kc in zip(k_pre, k))
+    dk_n = tuple(jnp.where(roll_any, dp, dc)
+                 for dp, dc in zip(dk_pre, dkdlam))
+    e0s_n = jnp.where(roll_any, e0s_pre, e_0_s)
 
     n_step_n = n_step + moving.astype(jnp.int32)
     over = moving & (n_step_n > stall_steps)
 
+    # A-posteriori growth revocation (EngineConfig.grow_tau_cap): the
+    # a-priori cap in hot_phase_a bounds the step by the START-of-step
+    # opacity, which a lane ENTERING the torus from vacuum sees as ~0 —
+    # its grown (up to grow_cap x) step then crosses the dense edge in one
+    # stride where the trapezoid overestimates the optical depth (measured
+    # at M=4e18: an orbiter recorded tau_scatt 26x the oracle's maximum,
+    # which ratchets max_tau_scatt and crushes the global bias; rec_ratio
+    # 0.53).  A lane whose REALIZED step depth exceeded the cap loses its
+    # growth immediately, so edge-crossers and core orbiters integrate at
+    # nominal (reference-size) steps while vacuum flight stays grown.
+    tau_over = (inter & (jnp.maximum(d_tau_scatt, d_tau_abs) > tau_cap)
+                if tau_cap > 0.0 else jnp.zeros_like(inter))
+
     return dict(
+        tau_over=tau_over,
+        entry_roll=entry_roll,
         x=x_n, k=k_n, dkdlam=dk_n, e_0_s=e0s_n,
         pend_dl=jnp.where(roll, seg * frac, pend_dl),
         sec_w=jnp.where(roll, sec_w_new, sec_w),
@@ -1268,11 +1340,18 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
                 u_x1, _bias_scale(state.counters).astype(dt),
                 mc, hc_coeffs, k2_coeffs, weight_min, cfg.stall_steps,
                 derived=cfg.derived_fluid,
+                tau_cap=(cfg.grow_tau_cap if cfg.grow_cap > 1.0 else 0.0),
+                grown=A["grown"],
             )
+        dl_shrink_n = A["dl_shrink"]
+        if cfg.grow_cap > 1.0 and cfg.grow_tau_cap > 0.0:
+            dl_shrink_n = jnp.where(B["tau_over"] | B["entry_roll"],
+                                    jnp.minimum(dl_shrink_n, 1.0),
+                                    dl_shrink_n)
         p = p._replace(
             x=B["x"], k=B["k"],
             dkdlam=B["dkdlam"], e_0_s=B["e_0_s"],
-            dl_shrink=A["dl_shrink"], pend_dl=B["pend_dl"],
+            dl_shrink=dl_shrink_n, pend_dl=B["pend_dl"],
             pend_push=B["pend_push"], at_event=A["at_event"], w=B["w"],
             alive=B["alive"], record_pending=A["record_pending"],
             tau_abs=B["tau_abs"], tau_scatt=B["tau_scatt"],
@@ -1330,6 +1409,7 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
             geometry.step_size_c(p.x[1], p.x[2], p.k[1], p.k[2], p.k[3], x2_stop),
         )
         seg = dl_full * p.dl_shrink
+        grown_leg = ~p.pend_push & (p.dl_shrink > 1.0)
         # grow_cap > 1: never overshoot a decided scatter's re-push length
         seg = jnp.where(p.pend_push, jnp.minimum(seg, dl_full), seg)
         at_floor = p.dl_shrink <= SHRINK_FLOOR
@@ -1385,7 +1465,10 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         # ------------------------------------------------------------------
         # interaction (harm_model.cpp:937-1056) — only lanes that advanced
         # ------------------------------------------------------------------
-        inter = moving & commit & ~was_pend & ~stopped & p.interacting
+        # Per-step interaction gate (see hot_phase_b: the reference
+        # re-evaluates n_e>0 every step; the old sticky flag froze
+        # re-entrant orbiters).
+        inter = moving & commit & ~was_pend & ~stopped
         if "fluid" in dbg:
             n_step = p.n_step + moving.astype(jnp.int32)
             over = moving & (n_step > cfg.stall_steps)
@@ -1423,6 +1506,13 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         bf = bias_func(fl.theta_e, p.w, state.counters)
 
         dead_branch = bound | (nu < 0.0)
+        # Vacuum->matter entry rollback for grown steps (see hot_phase_b).
+        entry_roll = jnp.zeros_like(inter)
+        if cfg.grow_cap > 1.0 and cfg.grow_tau_cap > 0.0:
+            entry_roll = (inter & grown_leg & ~dead_branch
+                          & (p.alpha_scatti <= 0.0) & (p.alpha_absi <= 0.0)
+                          & (fl.n_e > 0.0))
+            inter = inter & ~entry_roll
         half = 0.5 * d_tau_k * seg
         d_tau_scatt = jnp.where(
             dead_branch,
@@ -1457,11 +1547,12 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
 
         # Scatter lanes roll back to the pre-step state and re-push by frac*dl.
         roll = scatter & ~absorbed
+        roll_any = roll | entry_roll
         p = p._replace(
-            x=where4(roll, x_pre, p.x),
-            k=where4(roll, k_pre, p.k),
-            dkdlam=where4(roll, dk_pre, p.dkdlam),
-            e_0_s=jnp.where(roll, e0s_pre, p.e_0_s),
+            x=where4(roll_any, x_pre, p.x),
+            k=where4(roll_any, k_pre, p.k),
+            dkdlam=where4(roll_any, dk_pre, p.dkdlam),
+            e_0_s=jnp.where(roll_any, e0s_pre, p.e_0_s),
             pend_dl=jnp.where(roll, seg * frac, p.pend_dl),
             sec_w=jnp.where(roll, sec_w, p.sec_w),
             pend_push=p.pend_push | roll,
@@ -1484,6 +1575,13 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         n_step = p.n_step + moving.astype(jnp.int32)
         over = moving & (n_step > cfg.stall_steps)
         p = p._replace(n_step=n_step, alive=p.alive & ~over)
+        if cfg.grow_cap > 1.0 and cfg.grow_tau_cap > 0.0:
+            # A-posteriori growth revocation (see hot_phase_b tau_over).
+            tau_over = inter & (jnp.maximum(d_tau_scatt, d_tau_abs)
+                                > cfg.grow_tau_cap)
+            p = p._replace(dl_shrink=jnp.where(
+                tau_over | entry_roll,
+                jnp.minimum(p.dl_shrink, 1.0), p.dl_shrink))
 
         if cfg.detached_events:
             p = p._replace(**_capture_events(
