@@ -1159,11 +1159,20 @@ class Simulation:
             small, wide = gather_fn(state.pool)
             jax.block_until_ready(merge_fn(wide, small))
             jax.block_until_ready(census(state.pool, state.sec))
+        # The host emission sampler at the pilot's (warm,) shape: its CPU
+        # jit compile (~10 s on the 1-core host) otherwise lands between
+        # the transport clock start and the pilot (measured: 11 s of the
+        # round-3 bench window).
+        warm = min(self.warmup, plan.total)
+        if warm > 0:
+            z0 = jax.device_put(np.zeros(warm, np.int32), self._cpu_dev)
+            jax.block_until_ready(self._sample_jit(
+                jax.device_put(np.asarray(random.PRNGKey(0)), self._cpu_dev),
+                z0, z0))
         # The device-pilot engine at its (warm, 16) backlog shape — only
         # when the device pilot is selected: the default host-oracle
         # warmup (see _run_pilot) needs no engine at all, and this compile
         # is a whole extra engine (~1-2 min through the tunnel).
-        warm = min(self.warmup, plan.total)
         if (self.cfg.n_pool > 2048 and warm > 0
                 and os.environ.get("GRMONTY_PILOT", "host") != "host"):
             eng, run = self._pilot_engine()
