@@ -33,6 +33,11 @@ class CPUTracker:
     def __init__(self, mc: fluid.ModelConsts, tables: Tables, prims, seed=consts.RNG_SEED):
         self.mc = mc
         self.tables = tables
+        # Device copy: the driver keeps its prims as HOST numpy
+        # (driver.py `_build_device`), but `fluid_at` below is jitted and
+        # indexes prims with tracers — a numpy closure raises
+        # TracerArrayConversionError.
+        prims = jnp.asarray(prims)
         self.prims = prims
         self.rng = np.random.default_rng(seed)
         self.spec = np.zeros((consts.N_TH_BINS, consts.N_E_BINS, N_SPEC_CHAN))

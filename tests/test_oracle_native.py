@@ -190,10 +190,23 @@ def test_end_to_end_vs_python_oracle(sim, batch, native, pytracker):
     rec_c, scat_c = native.n_recorded, native.n_scatt_rec
 
     assert rec_c > 0 and rec_p > 0
-    lum_c = spec_c[:, :, 1].sum()
+    # The recorded count of a biased-scattering cascade has huge per-seed
+    # variance at 15 primaries (measured native spread over 12 seeds:
+    # 198..429, a 2.2x min-to-max ratio).  Gate the Python oracle against
+    # the native oracle's *measured* seed distribution rather than a fixed
+    # ratio: the native tracker costs milliseconds per seed.
+    recs, lums = [rec_c], [spec_c[:, :, 1].sum()]
+    for seed in range(8):
+        nt = NativeTracker(sim.mc, sim.tables, np.asarray(sim.prims),
+                           seed=100 + seed)
+        s = nt.run(b, limit=n, progress_every=0)
+        recs.append(nt.n_recorded)
+        lums.append(s[:, :, 1].sum())
+    rec_mu, rec_sd = np.mean(recs), np.std(recs) + 1.0
+    lum_mu, lum_sd = np.mean(lums), np.std(lums) + 1e-300
+    assert abs(rec_p - rec_mu) < 4.0 * rec_sd, (rec_p, recs)
     lum_p = spec_p[:, :, 1].sum()
-    assert 0.5 < lum_c / lum_p < 2.0, (lum_c, lum_p)
-    assert 0.5 < (rec_c + 1) / (rec_p + 1) < 2.0, (rec_c, rec_p)
+    assert abs(lum_p - lum_mu) < 5.0 * lum_sd, (lum_p, lums)
 
     # the native oracle at 30x the sample in (milli)seconds: stays finite,
     # records proportionally
