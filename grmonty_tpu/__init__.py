@@ -17,7 +17,8 @@ Layout:
 
 Precision: double precision is required for parity with the reference
 (which is entirely `double`); we enable x64 at import.  The transport
-engine's compute dtype is configurable (see `grmonty_tpu.config.Config`);
+engine's compute dtype is configurable (see
+`grmonty_tpu.transport.engine.EngineConfig`);
 float64 is the parity default, float32 is ~4x faster on TPU and passes the
 same statistical spectrum checks.
 """

@@ -158,3 +158,38 @@ class TestRadiation:
         assert 0.0 <= th <= math.pi
         th0 = float(radiation.bk_angle(k, u_cov, b_cov, jnp.array([0.0]), 1.0)[0])
         assert th0 == pytest.approx(math.pi / 2)
+
+
+class TestGoldenPins:
+    """Bit-stability pins for the built tables (VERDICT r3 item 8).
+
+    The values are frozen from a build whose accuracy is independently
+    verified above (k2 vs scipy.special.kv, f vs the direct GK integral,
+    hotcross vs the numeric double integral); the pins catch silent
+    rebuild drift — e.g. a quadrature or grid change — at 1e-12.
+    Reference tables: jnu_mixed.cpp:57-73, hotcross.cpp:60-79.
+    """
+
+    def test_f_table_golden(self, jnu_tables):
+        f_t = np.asarray(jnu_tables[0])
+        assert f_t.shape == (201,)
+        got = f_t[[0, 50, 100, 150, 200]]
+        want = [1.5605272828913115, 3.3038574227620114, 2.481547901571418,
+                -21.38150912697371, -198.70020106804728]
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    def test_k2_table_golden(self, jnu_tables):
+        k2_t = np.asarray(jnu_tables[1])
+        assert k2_t.shape == (201,)
+        got = k2_t[[0, 50, 100, 150, 200]]
+        want = [-3.2210660818603043, 1.0571406359174718, 4.086156654955269,
+                6.998460355500046, 9.90346255564318]
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    def test_hotcross_table_golden(self, hotcross_table):
+        h = np.asarray(hotcross_table)
+        assert h.shape == (221, 81)
+        got = [h[0, 0], h[55, 20], h[110, 40], h[165, 60], h[220, 80]]
+        want = [-24.17661838387355, -24.168604894687906, -24.180789228680627,
+                -27.432351050056166, -33.5176335039284]
+        np.testing.assert_allclose(got, want, rtol=1e-12)
