@@ -161,6 +161,10 @@ def main():
         "steps_per_photon": round(stats.get("steps_per_photon", 0.0), 1),
         "n_recorded": stats["n_recorded"],
         "n_sec_drop": stats.get("n_secondary_dropped", 0),
+        # Step-cap truncation (VERDICT r3 #7): photons killed at
+        # stall_steps and the fraction of recorded weight they carried out.
+        "n_stall": stats.get("n_stall_killed", 0),
+        "w_stall_frac": float(f"{stats.get('w_stall_frac', 0.0):.3g}"),
         # Rate-definition transparency (the reference clocks its whole
         # run_simulation with kernels precompiled by nvcc,
         # harm_model.cpp:405-413): elapsed_s covers emission + transport +

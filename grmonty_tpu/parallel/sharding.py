@@ -154,6 +154,8 @@ class ShardedSimulation(driver_mod.Simulation):
                 ls_moving=jnp.sum(counters.ls_moving),
                 ls_committed=jnp.sum(counters.ls_committed),
                 ls_parked=jnp.sum(counters.ls_parked),
+                n_stall=jnp.sum(counters.n_stall),
+                w_stall=jnp.sum(counters.w_stall),
                 avg_ema=jnp.max(counters.avg_ema),
                 ema_scatt_mark=jnp.sum(counters.ema_scatt_mark),
                 ema_rec_mark=jnp.sum(counters.ema_rec_mark),
@@ -363,7 +365,13 @@ class ShardedSimulation(driver_mod.Simulation):
             "elapsed_s": elapsed,
             "photon_rate": plan.total / max(elapsed, 1e-9),
             "n_devices": self.n_devices,
+            "n_stall_killed": int(counters.n_stall),
         }
+        # Step-cap truncation fraction (see driver.run): scaled-weight units
+        # on both sides; spec here is already unscaled, so rescale.
+        w_rec_spec = float(spec[:, 0].sum()) * self.cfg.weight_scale
+        w_stall = float(counters.w_stall)
+        stats["w_stall_frac"] = w_stall / max(w_rec_spec + w_stall, 1e-300)
         log.info("Final rate %.2f ph/s over %d devices",
                  stats["photon_rate"], self.n_devices)
         self.spec = spec

@@ -57,11 +57,13 @@ from grmonty_tpu.ops import cheb, emission, fluid, gather, geometry, radiation, 
 
 PI = math.pi
 
-N_SPEC_CHAN = 14  # Spectrum struct channels (harm_data.hpp:129-143) + one
+N_SPEC_CHAN = 15  # Spectrum struct channels (harm_data.hpp:129-143) + two:
 #   extra: channel 13 accumulates sum((w*e)^2), the per-bin MC variance of
 #   the energy channel (not in the reference; powers the accuracy harness'
 #   chi^2 error bars).  It is quadratic in the weight scale — see
-#   driver.unscale_spectrum.
+#   driver.unscale_spectrum.  channel 14 counts recorded SECONDARIES
+#   (photons born at a scatter event, Pool.nsc0 > 0) for the
+#   bias-equilibrium count-shape gate (VERDICT r3 #5).
 # channel order: dn_dle, de_dle, nph, nscatt, x1i_av, x2i_sq, x3f_sq,
 #                tau_abs, tau_scatt, ne_0, theta_e_0, b_0, e_0
 N_BINS = consts.N_TH_BINS * consts.N_E_BINS
@@ -362,6 +364,14 @@ class Pool(typing.NamedTuple):
     #   unconsumed scatter event; the lane may keep moving but cannot be
     #   freed/reused until the periodic phase consumes it
     n_scatt: jnp.ndarray  # int32
+    nsc0: jnp.ndarray  # int32: n_scatt at LOAD time (0 = primary photon,
+    #   >=1 = secondary born at a scatter event).  Biased scattering never
+    #   deflects the parent (harm_model.cpp:1005-1051: the secondary gets
+    #   the sampled direction, the parent continues), so recorded PRIMARY
+    #   counts are invariant under any bias-equilibrium offset while
+    #   secondary counts scale ~linearly with the bias — spectrum channel
+    #   14 splits the two so the accuracy harness can gate the
+    #   thick-regime count shape against that model (VERDICT r3 #5).
     n_step: jnp.ndarray  # int32
     ev_tries: jnp.ndarray  # int32: periodic phases this lane's scatter event
     #   has been deferred by sampler round caps (see process_scatters)
@@ -412,11 +422,19 @@ class Counters(typing.NamedTuple):
     avg_ema: jnp.ndarray  # engine-dtype scalar
     ema_scatt_mark: jnp.ndarray  # int64
     ema_rec_mark: jnp.ndarray  # int64
+    # Step-cap truncation accounting (VERDICT r3 #7): photons killed at
+    # EngineConfig.stall_steps (the reference kills at max_n_step=1.28e6,
+    # consts.hpp:55; the bench profile caps far lower) carry unrecorded
+    # weight out of the simulation.  These quantify that truncated flux so
+    # the accuracy harness can gate it (w_stall is in SCALED weight units,
+    # comparable to the spectrum's channel-0 sums).
+    n_stall: jnp.ndarray  # int64: lanes killed at the step cap
+    w_stall: jnp.ndarray  # engine-dtype: summed remaining weight of those
 
 
 class State(typing.NamedTuple):
     pool: Pool
-    spec: jnp.ndarray  # (N_BINS + 1, 13) engine-dtype accumulators (+1 dump row)
+    spec: jnp.ndarray  # (N_BINS + 1, N_SPEC_CHAN) engine-dtype accumulators (+1 dump row)
     counters: Counters
     sec: SecBuf
     backlog_pos: jnp.ndarray  # int32: next unconsumed primary
@@ -458,7 +476,7 @@ def empty_pool(n, dtype, fluid_cache=False, detached_events=False):
         ev_k=(z4() if detached_events else ()),
         ev_w=jnp.zeros((ne,), dtype),
         ev_pending=jnp.zeros((ne,), bool),
-        n_scatt=zi(), n_step=zi(), ev_tries=zi(),
+        n_scatt=zi(), nsc0=zi(), n_step=zi(), ev_tries=zi(),
         occupied=zb(), alive=zb(), interacting=zb(), pend_push=zb(),
         at_event=zb(), record_pending=zb(),
     )
@@ -479,6 +497,7 @@ def init_counters(max_tau_scatt_init, dtype):
         ls_iters=zi(), ls_slots=zi(), ls_occupied=zi(), ls_moving=zi(),
         ls_committed=zi(), ls_parked=zi(),
         avg_ema=jnp.zeros((), dtype), ema_scatt_mark=zi(), ema_rec_mark=zi(),
+        n_stall=zi(), w_stall=jnp.zeros((), dtype),
     )
 
 
@@ -1616,9 +1635,9 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
             rec = rec & ~p.ev_pending
         valid, gi, sidx = compact_idx(rec, EV_K if width is None else width)
 
-        (x2g, x3g, w, e, nsc, x1ig, x2ig, tabs_g, tsc_g, ne0_g, te0_g,
-         b0_g, e0_g, occ_g, rp_g) = take_cols(
-            gi, [p.x[2], p.x[3], p.w, p.e, p.n_scatt, p.x1i, p.x2i,
+        (x2g, x3g, w, e, nsc, nsc0_g, x1ig, x2ig, tabs_g, tsc_g, ne0_g,
+         te0_g, b0_g, e0_g, occ_g, rp_g) = take_cols(
+            gi, [p.x[2], p.x[3], p.w, p.e, p.n_scatt, p.nsc0, p.x1i, p.x2i,
                  p.tau_abs, p.tau_scatt, p.n_e_0, p.theta_e_0, p.b_0,
                  p.e_0, p.occupied, p.record_pending])
 
@@ -1656,6 +1675,11 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
                 w * b0_g,
                 w * e0_g,
                 jnp.square(w * e),
+                # ch 14: recorded SECONDARY count (born at a scatter event;
+                # see Pool.nsc0) — primary counts are bias-invariant, so
+                # the split lets the accuracy harness gate the thick-regime
+                # count shape quantitatively (VERDICT r3 #5).
+                (nsc0_g > 0).astype(dt),
             ],
             axis=-1,
         )
@@ -2024,6 +2048,7 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
             tau_abs=pick(zero, p.tau_abs),
             tau_scatt=pick(zero, p.tau_scatt),
             n_scatt=jnp.where(load, rows[ROW_NSCATT].astype(jnp.int32), p.n_scatt),
+            nsc0=jnp.where(load, rows[ROW_NSCATT].astype(jnp.int32), p.nsc0),
             n_step=jnp.where(load, 0, p.n_step),
             ev_tries=jnp.where(load, 0, p.ev_tries),
             pend_dl=pick(zero, p.pend_dl),
@@ -2145,10 +2170,17 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         # Step-economics accounting: per-photon step counts at retirement
         # (drives the steps/photon diagnostic in the benches).
         freed = occ0 & ~p.occupied
+        # Step-cap truncation census: a freed lane with n_step past the cap
+        # was killed by the stall check (hot_phase_b `over`), not physics —
+        # its remaining weight left the simulation unrecorded.
+        stalled = freed & (p.n_step > cfg.stall_steps)
         counters = counters._replace(
             n_retired=counters.n_retired + jnp.sum(freed).astype(jnp.int64),
             n_steps_retired=counters.n_steps_retired
             + jnp.sum(jnp.where(freed, p.n_step, 0)).astype(jnp.int64),
+            n_stall=counters.n_stall + jnp.sum(stalled).astype(jnp.int64),
+            w_stall=counters.w_stall
+            + jnp.sum(jnp.where(stalled, p.w, 0.0)).astype(dt),
         )
         if "refill" not in dbg:
             p, sec, backlog_pos, counters, fresh = refill(

@@ -46,7 +46,8 @@ const double X1_MAX = std::log(100.0);
 
 constexpr int N_TH_BINS = 6;
 constexpr int N_E_BINS = 200;
-constexpr int N_SPEC_CHAN = 14;  // 13 reference channels + sum((w*e)^2)
+constexpr int N_SPEC_CHAN = 15;  // 13 reference channels + sum((w*e)^2)
+                                 // + recorded-secondary count (ch 14)
 constexpr double SPEC_D_L_E = 0.25;
 const double SPEC_L_E_0 = std::log(1.0e-12);
 
@@ -92,6 +93,7 @@ struct Photon {
   double w, e, l, x1i, x2i, tau_abs, tau_scatt;
   double n_e_0, theta_e_0, b_0, e_0, e_0_s;
   int n_scatt;
+  bool is_sec = false;  // born at a scatter event (spectrum channel 14)
 };
 
 // ----- geometry (ops/geometry.py; harm_model.cpp:473-530,1436-1644) -------
@@ -849,6 +851,7 @@ struct Tracker {
     row[11] += w * ph.b_0;
     row[12] += w * ph.e_0;
     row[13] += w * ph.e * w * ph.e;  // MC variance of the energy channel
+    row[14] += ph.is_sec ? 1.0 : 0.0;  // secondary-origin count
   }
 
   // track_super_photon (CPUTracker.track; harm_model.cpp:894-1069).
@@ -934,6 +937,7 @@ struct Tracker {
               sec.e_0 = ph.e_0;
               sec.n_e_0 = ph.n_e_0;
               sec.theta_e_0 = ph.theta_e_0;
+              sec.is_sec = true;
               track(sec, depth + 1);
             }
           }
@@ -975,7 +979,7 @@ struct OracleOut {
   int64_t n_scatt_rec;
 };
 
-// Track n photons; accumulates into spec (6*200*13 doubles, caller-zeroed).
+// Track n photons; accumulates into spec (6*200*N_SPEC_CHAN doubles, caller-zeroed).
 // `out` is IN/OUT: its counters seed the tracker's bias-feedback state, so
 // chunked calls behave exactly like one long sequential run (the Python
 // CPUTracker keeps this state across run() calls too).  Pass

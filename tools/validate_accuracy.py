@@ -203,6 +203,7 @@ def main():
         dat = np.load(args.oracle_npz)
         so, n_rec_o, t_orc = dat["spec"], int(dat["n_recorded"]), float(dat["seconds"])
         assert int(dat["n_photons"]) == n_orc, "oracle cache photon count mismatch"
+        max_tau_o = float(dat["max_tau_scatt"]) if "max_tau_scatt" in dat else None
     else:
         backlog = jax.device_get(batch)
         # f64 BEFORE unscaling: raw grmonty weights (~1e50) overflow the
@@ -221,10 +222,11 @@ def main():
         tr.run(backlog, limit=n_orc)
         t_orc = time.time() - t0
         so, n_rec_o = np.asarray(tr.spec), int(tr.n_recorded)
+        max_tau_o = float(tr.max_tau_scatt)
         if args.oracle_npz:
             np.savez(args.oracle_npz, spec=so, n_recorded=n_rec_o,
                      seconds=t_orc, n_photons=n_orc, seed=args.seed,
-                     mass_unit=args.mass_unit)
+                     mass_unit=args.mass_unit, max_tau_scatt=max_tau_o)
 
     # --- comparisons ----------------------------------------------------
     se = spec_e[: NB * NE].reshape(NB, NE, -1)
@@ -271,6 +273,45 @@ def main():
     # is built from): a systematic rec_ratio offset usually traces here.
     avg_scatt_e = float(se[:, :, 3].sum() / max(n_rec_e, 1))
     avg_scatt_o = float(so[:, :, 3].sum() / max(n_rec_o, 1))
+    # --- origin-decomposed count gate (VERDICT r3 #5) --------------------
+    # Spectrum channel 14 counts recorded SECONDARIES (photons born at a
+    # scatter event).  Biased scattering never deflects the parent
+    # (harm_model.cpp:1005-1051), so per-band PRIMARY counts are invariant
+    # under any bias-equilibrium offset: engine-vs-oracle primaries must
+    # agree within pure Poisson noise.  Secondary counts scale ~linearly
+    # with the bias, so after fitting ONE global population factor
+    # kappa = sum(S_e)/sum(S_o) their band SHAPE must also agree.  This
+    # replaces the old loose "rec_ratio < 1.4" diagnostic with a
+    # quantitative model of the documented equilibrium offset.
+    decomp = None
+    if se.shape[2] > 14 and so.shape[2] > 14:
+        s_e = se[:, :, 14].sum(0)[: ne_g * g].reshape(ne_g, g).sum(1)
+        s_o = so[:, :, 14].sum(0)[: ne_g * g].reshape(ne_g, g).sum(1)
+        p_e, p_o = n_e - s_e, n_o - s_o
+        use_p = (p_e + p_o) >= 10
+        chi2_p = float((((p_e - p_o) ** 2)[use_p]
+                        / np.maximum(p_e + p_o, 1)[use_p]).sum())
+        dof_p = int(use_p.sum())
+        kappa = float(s_e.sum() / max(s_o.sum(), 1))
+        use_s = (s_e + s_o) >= 10
+        var_s = np.maximum(s_e + kappa * kappa * s_o, 1.0)
+        chi2_s = float((((s_e - kappa * s_o) ** 2)[use_s] / var_s[use_s]).sum())
+        dof_s = max(int(use_s.sum()) - 1, 1)  # kappa fitted from the data
+        # Bias-equilibrium prediction of the same factor: bias ~
+        # 1/(max_tau_scatt * (avg_scatt + 2)) (harm_model.cpp:1391-1404).
+        kappa_pred = None
+        if max_tau_o is not None and max_tau_o > 0:
+            kappa_pred = (max_tau_o * (avg_scatt_o + 2.0)) / (
+                float(state.counters.max_tau_scatt) * (avg_scatt_e + 2.0))
+        decomp = {
+            "n_prim_engine": int(p_e.sum()), "n_prim_oracle": int(p_o.sum()),
+            "n_sec_engine": int(s_e.sum()), "n_sec_oracle": int(s_o.sum()),
+            "chi2_prim_per_dof": chi2_p / max(dof_p, 1), "dof_prim": dof_p,
+            "kappa_fit": kappa, "kappa_pred_from_bias": kappa_pred,
+            "chi2_sec_shape_per_dof": chi2_s / max(dof_s, 1),
+            "dof_sec": dof_s,
+        }
+
     groups = [
         {"g": int(i), "lum_ratio": float(e_e[i] / e_o[i]) if e_o[i] else None,
          "nph_engine": int(n_e[i]), "nph_oracle": int(n_o[i])}
@@ -295,6 +336,15 @@ def main():
         "avg_scatt_engine": avg_scatt_e,
         "avg_scatt_oracle": avg_scatt_o,
         "max_tau_scatt_engine": float(state.counters.max_tau_scatt),
+        "max_tau_scatt_oracle": max_tau_o,
+        "origin_decomp": decomp,
+        # Step-cap truncation (VERDICT r3 #7): photons the engine killed at
+        # stall_steps and the weight they carried out, as a fraction of
+        # recorded weight (both in scaled units).  Gate: << 1%.
+        "n_stall_engine": int(state.counters.n_stall),
+        "w_stall_frac_engine": float(state.counters.w_stall) / max(
+            float(jax.device_get(state.spec)[:, 0].sum())
+            + float(state.counters.w_stall), 1e-300),
         "groups": groups,
         "mass_unit": args.mass_unit,
         "oracle": args.oracle,
