@@ -619,7 +619,9 @@ class Simulation:
         payload["key"] = np.asarray(self.key)
         payload["meta"] = np.asarray(
             [waves_done, len(leaves), self.photon_n, self.cfg.n_pool,
-             self.emit_chunk], np.int64)
+             self.emit_chunk,
+             1 if os.environ.get("GRMONTY_RAMP", "1") == "1" else 0],
+            np.int64)
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             np.savez(f, **payload)
@@ -635,14 +637,17 @@ class Simulation:
         from a different run setup.
         """
         dat = np.load(path, allow_pickle=False)
-        waves_done, n_leaves, photon_n, n_pool, emit_chunk = (
-            int(x) for x in dat["meta"])
-        if (photon_n, n_pool, emit_chunk) != (
-                self.photon_n, self.cfg.n_pool, self.emit_chunk):
+        meta = [int(x) for x in dat["meta"]]
+        waves_done, n_leaves, photon_n, n_pool, emit_chunk = meta[:5]
+        ramp = meta[5] if len(meta) > 5 else 1
+        ramp_now = 1 if os.environ.get("GRMONTY_RAMP", "1") == "1" else 0
+        if (photon_n, n_pool, emit_chunk, ramp) != (
+                self.photon_n, self.cfg.n_pool, self.emit_chunk, ramp_now):
             raise ValueError(
                 f"checkpoint {path} was written by a different run setup: "
-                f"photon_n/n_pool/emit_chunk {(photon_n, n_pool, emit_chunk)}"
-                f" != {(self.photon_n, self.cfg.n_pool, self.emit_chunk)}")
+                f"photon_n/n_pool/emit_chunk/ramp "
+                f"{(photon_n, n_pool, emit_chunk, ramp)} != "
+                f"{(self.photon_n, self.cfg.n_pool, self.emit_chunk, ramp_now)}")
         treedef = jax.tree_util.tree_structure(template_state)
         if treedef.num_leaves != n_leaves:
             raise ValueError(
@@ -720,10 +725,11 @@ class Simulation:
             done = min(start + pos, total)
             log.info(
                 "wave %d/%d: it=%d pos=%d occ=%d mov=%d rp=%d sec=%d "
-                "rec=%d scatt=%d | %.0f ph/s",
+                "rec=%d scatt=%d mt=%.2e avg=%.2f | %.0f ph/s",
                 c + 1, n_chunks, int(state.it), done, occupied, moving,
                 rpend, sec,
                 int(counters.n_recorded), int(counters.n_scatt_rec),
+                float(counters.max_tau_scatt), float(counters.avg_ema),
                 done / max(elapsed, 1e-9),
             )
             finished = (
@@ -1268,8 +1274,32 @@ class Simulation:
         # scattering bias at its huge initial value and explodes the
         # secondary population.
         warm = min(self.warmup, plan.total)
-        waves = [(cs, min(chunk, plan.total - cs))
-                 for cs in range(0, plan.total, chunk)]
+        # First-wave ramp: the bias-feedback counters (max_tau_scatt
+        # ratchet, avg-scatters EMA) converge DURING the first bulk wave —
+        # the pilot's 8192 strided photons cannot sample the max_tau tail
+        # of a 16M-superphoton run, so every wave-1 photon launches at an
+        # inflated bias and the cohort runs a Compton storm (bench r4
+        # timeline: wave 1 carried 7.4M of the run's 9.9M scatters and
+        # ~40% of the wave wall time).  The reference never pays this: its
+        # SEQUENTIAL tracker exposes one photon at a time to the
+        # still-converging counters (harm_model.cpp:1391-1404).  Ramping
+        # the first emit_chunk in sub-waves (1/8, 1/8, 1/4, rest) bounds
+        # the population exposed to the cold counters the same way;
+        # per-wave boundaries cost one sampler call each (pool-full
+        # handoff).  GRMONTY_RAMP=0 disables.
+        waves = []
+        if (os.environ.get("GRMONTY_RAMP", "1") == "1"
+                and plan.total > chunk >= 8):
+            cs = 0
+            for part in (chunk // 8, chunk // 8, chunk // 4):
+                waves.append((cs, part))
+                cs += part
+            waves.append((cs, chunk - cs))
+            cs = chunk
+        else:
+            cs = 0
+        waves += [(c0, min(chunk, plan.total - c0))
+                  for c0 in range(cs, plan.total, chunk)]
         # Emission placement: on an accelerator backend the sampler runs ON
         # the device (see emit_packed_dev) — the production host has ~1 core
         # and host sampling left the accelerator idle ~85% of each wave.
