@@ -39,10 +39,18 @@ _MAX_ELECTRON_ITERS = 64
 _ELECTRON_STALL_ITERS = 32
 # Round caps for the deferring event samplers (engine periodic phase): a
 # lane that fails all rounds is NOT truncated — its event retries at the
-# next phase with a fresh key, so small caps bound per-phase cost without
-# touching the distribution.
+# next phase with a fresh key.  Each sampler's while_loop exits as soon as
+# every lane accepted, so a high cap costs nothing in typical phases.
+#
+# The KN cap must be HIGH: a deferred event redraws the ELECTRON next
+# phase, and KN acceptance falls with the electron-frame photon energy
+# k0p ~ gamma — so KN-stage defers reweight the joint (electron, KN)
+# sample toward low-gamma electrons (the reference never redraws the
+# electron, proba.cpp:30-112/174-189).  At cap 16 this soft bias showed as
+# part of the top-Compton-band flux deficit vs the compiled reference
+# binary (VSREF r4); at 128 rounds KN defers are ~extinct.
 _ELECTRON_CAP_DEFER = 16
-_KN_CAP_DEFER = 16
+_KN_CAP_DEFER = 128
 _THOMSON_CAP = 16
 
 

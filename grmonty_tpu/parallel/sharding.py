@@ -214,7 +214,9 @@ class ShardedSimulation(driver_mod.Simulation):
         payload["key"] = np.asarray(self.key)
         payload["meta"] = np.asarray(
             [chunks_done, len(leaves), self.photon_n, self.cfg.n_pool,
-             self.emit_chunk, self.n_devices], np.int64)
+             self.emit_chunk, self.n_devices,
+             1 if os.environ.get("GRMONTY_RAMP", "1") == "1" else 0],
+            np.int64)
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             np.savez(f, **payload)
@@ -225,10 +227,12 @@ class ShardedSimulation(driver_mod.Simulation):
     def load_checkpoint(self, path, template_state):
         dat = np.load(path, allow_pickle=False)
         meta = [int(x) for x in dat["meta"]]
-        chunks_done, n_leaves, photon_n, n_pool, emit_chunk, n_dev = meta
-        if (photon_n, n_pool, emit_chunk, n_dev) != (
+        chunks_done, n_leaves, photon_n, n_pool, emit_chunk, n_dev = meta[:6]
+        ramp = meta[6] if len(meta) > 6 else 1
+        ramp_now = 1 if os.environ.get("GRMONTY_RAMP", "1") == "1" else 0
+        if (photon_n, n_pool, emit_chunk, n_dev, ramp) != (
                 self.photon_n, self.cfg.n_pool, self.emit_chunk,
-                self.n_devices):
+                self.n_devices, ramp_now):
             raise ValueError(
                 f"sharded checkpoint {path} from a different run setup: "
                 f"{meta[2:]} != {(self.photon_n, self.cfg.n_pool, self.emit_chunk, self.n_devices)}")
@@ -281,7 +285,26 @@ class ShardedSimulation(driver_mod.Simulation):
         # chunk must divide evenly across shards
         chunk = -(-self.emit_chunk // n) * n
         per_shard = chunk // n
-        n_chunks = max(1, -(-plan.total // chunk))
+        # First-chunk ramp (driver.run parity): converge the bias-feedback
+        # ratchet on small cohorts instead of storming the full first
+        # chunk (see driver.run).  Sub-chunks keep the full backlog SHAPE
+        # (zero-padded) so the sharded executable is not re-specialized;
+        # only the traced n_valid shrinks.
+        sched = []
+        if (os.environ.get("GRMONTY_RAMP", "1") == "1"
+            and plan.total > chunk >= 8 * n):
+            cs = 0
+            for part in (chunk // 8 // n * n, chunk // 8 // n * n,
+                         chunk // 4 // n * n):
+                sched.append((cs, part))
+                cs += part
+            sched.append((cs, chunk - cs))
+            cs = chunk
+        else:
+            cs = 0
+        sched += [(c0, min(chunk, plan.total - c0))
+                  for c0 in range(cs, plan.total, chunk)]
+        n_chunks = len(sched)
         resume = 0
         if checkpoint_path and os.path.exists(checkpoint_path):
             resume, state = self.load_checkpoint(checkpoint_path, state)
@@ -291,15 +314,32 @@ class ShardedSimulation(driver_mod.Simulation):
         # to zero so the final all-reduce sees completed transport.
         pool_sh = NamedSharding(self.mesh, P("ph"))
         for c in range(resume, n_chunks):
-            batch = self._sample(plan, c * chunk, chunk)
-            rows = engine_mod.pack_rows(batch, self.cfg.dtype)
+            start, limit = sched[c]
+            if limit < chunk and limit % n == 0:
+                # Ramp sub-chunk: keep the full backlog shape (no
+                # executable re-specialization) AND give every shard its
+                # fair share — each shard's ps_c valid rows sit at the
+                # START of its per_shard block, zero-padded behind (the
+                # per-shard cursor stops at n_valid = ps_c).
+                batch = self._sample(plan, start, limit)
+                rows = engine_mod.pack_rows(batch, self.cfg.dtype)
+                ps_c = limit // n
+                blocks = np.zeros((n, per_shard, rows.shape[1]), rows.dtype)
+                blocks[:, :ps_c] = rows.reshape(n, ps_c, rows.shape[1])
+                rows = blocks.reshape(chunk, rows.shape[1])
+            else:
+                # Full chunk (the last one may overhang the plan: sampler
+                # zero-pads, the engine drops w=0 rows on load).
+                batch = self._sample(plan, start, chunk, limit=limit)
+                rows = engine_mod.pack_rows(batch, self.cfg.dtype)
+                ps_c = per_shard
             backlog = self._put_backlog(rows)
             # reset every shard's backlog cursor for the fresh chunk
             state = state._replace(
                 backlog_pos=jax.device_put(np.zeros(n, np.int32), pool_sh)
             )
             te = np.int32(0 if c + 1 == n_chunks else self._wave_tail_exit)
-            nv = np.int32(per_shard)
+            nv = np.int32(ps_c)
             # Run the chunk to completion in bounded slices on every shard.
             # No-progress watchdog: each dispatch runs at most
             # min(max_outer, slice_iters) hot iterations (the engine is
@@ -326,7 +366,7 @@ class ShardedSimulation(driver_mod.Simulation):
                     "sharded chunk %d/%d: occ=%d pos_min=%d sec=%d",
                     c + 1, n_chunks, occ, int(pos.min()), int(secs.sum()),
                 )
-                if ((pos >= per_shard).all() and secs.sum() == 0
+                if ((pos >= ps_c).all() and secs.sum() == 0
                         and occ <= int(te) * n):
                     break
                 sig = (occ, pos.tobytes(), secs.tobytes(), rec, steps)

@@ -226,6 +226,14 @@ class EngineConfig(typing.NamedTuple):
     #   same: TPU row gathers are per-index latency-bound).  Second-order
     #   interpolation deviation (blend-of-derived vs derive-of-blended);
     #   chi2-gated.  XLA shared hot path only.
+    ev_halve: int = 16  # scatter-event anti-stall: halve the sampler
+    #   theta_e every this many deferred phases (see process_scatters —
+    #   the old value 2 softened the electron spectrum in exactly the
+    #   low-acceptance hot zones that produce the top Compton bands;
+    #   measured 20-46% band deficit vs the compiled reference at 20k
+    #   photons, VSREF r4)
+    ev_force: int = 32  # force-accept the final sampler draw at this many
+    #   deferred phases (livelock backstop; ~512 total rejection rounds)
     detached_events: bool = False  # parent photons continue IMMEDIATELY
     #   after a scatter event instead of parking at_event until the next
     #   periodic phase (an average m_period/2-iteration stall per event).
@@ -1820,11 +1828,23 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         (proba._ELECTRON_CAP_DEFER / _KN_CAP_DEFER): a lane whose samplers
         did not all accept stays at_event and retries next phase with a
         fresh key — so per-phase sampler cost is bounded with NO
-        distribution truncation.  ``ev_tries`` counts the defers; the
-        anti-stall escalation halves the sampler theta_e every 2 defers
-        (the reference halves after 1e7 scalar tries, proba.cpp:59-64)
-        and force-accepts the final draw after 4 (>= 64 total rounds,
-        matching the old single-phase cap behavior).
+        distribution truncation.  ``ev_tries`` counts the defers.
+
+        Anti-stall escalation (EngineConfig.ev_halve / ev_force): halve
+        the sampler theta_e every ev_halve defers, force-accept the final
+        draw at ev_force defers.  The r1-r3 values (2 / 4, ~64 total
+        rounds) were FAR too eager: in hot zones the KN-weighted electron
+        sampler's acceptance is low, so a large fraction of exactly the
+        events that produce the highest Compton bands sampled a halved
+        (softened) theta_e or took a forced draw — measured against the
+        compiled reference binary at 20k photons as a 20-46% flux deficit
+        in the top energy bands (VSREF r4: bands 4/5 at 0.81/0.54 with
+        the oracle at 1.02/0.79).  The reference's own anti-stall halves
+        after 1e7 scalar tries (proba.cpp:59-64); the patient defaults
+        (16/32 defers = 256/512 sampler rounds) keep livelock protection
+        while leaving the sampled distribution effectively untouched —
+        deferring costs only lane-parking (with detached_events the
+        parent continues; the event waits in shadow registers).
         """
         if cfg.detached_events:
             # Two event sources, one compaction: shadow-register events
@@ -1887,11 +1907,12 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
             reg_g = jnp.zeros_like(valid)
             xg = (x0g, x1g, x2g, x3g)
             kg = (k0g, k1g, k2g, k3g)
-        force_g = valid & (tries_g >= 4)
+        force_g = valid & (tries_g >= cfg.ev_force)
 
         g7, fl = eval_fluid_xy(xg[1], xg[2])
         fl_s = fl._replace(
-            theta_e=fl.theta_e * jnp.exp2(-(tries_g // 2).astype(dt)))
+            theta_e=fl.theta_e
+            * jnp.exp2(-(tries_g // cfg.ev_halve).astype(dt)))
         res = scattering.scatter_event_c(key, kg, fl_s, g7, mc.b_unit,
                                          active=valid, force=force_g)
 

@@ -76,9 +76,11 @@ def bench_config(pool=65536, dtype=None, ref_mode=False, env=None,
         # MXU corner-row transpose: pure layout optimization (exact same
         # blend math; hot_step 1.75 -> 0.75 ms/iter at pool=65536 on v5e).
         mxu_extract=env.get("BENCH_MXU", "1") == "1",
-        # The corner gather is DMA-latency-bound: 4 overlapped sub-gathers
+        # The corner gather is DMA-latency-bound: overlapped sub-gathers
         # cost ~half of one pool-wide gather (tools/probe_overlap.py).
-        gather_split=int(env.get("BENCH_GATHER_SPLIT", "4")),
+        # 8 measured best on v5e (bench_micro r4: hot_step 0.435 ms at 4,
+        # 0.385 at 8, 0.758 at 16 — too many tiny DMAs inverts the win).
+        gather_split=int(env.get("BENCH_GATHER_SPLIT", "8")),
         pallas_hot=env.get("BENCH_PALLAS", "0") == "1",
         pallas_block=int(env.get("BENCH_PALLAS_BLOCK", "2048")),
     )

@@ -173,6 +173,13 @@ def main():
         "lum_ratio_engine_ref": lum_e / lum_r,
         "n_recorded_engine": stats_e["n_recorded"],
         "bench_profile": bool(args.bench_profile),
+        # Loss channels that would show up as Compton-band flux deficits
+        # (VSREF r4 found bands 4-6 at 0.28-0.62x the reference binary at
+        # 20k photons while the oracle matched — secondaries dropped at
+        # the ring or photons killed at the step cap are the suspects).
+        "n_secondary_dropped": stats_e.get("n_secondary_dropped", 0),
+        "n_stall_engine": stats_e.get("n_stall_killed", 0),
+        "w_stall_frac_engine": stats_e.get("w_stall_frac", 0.0),
     }
     if stats_o is not None:
         _, per_o = parse_spectrum_text(orc_spec_path)
