@@ -18,6 +18,7 @@ TPU-idiomatic and statistically equivalent:
 """
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -50,7 +51,7 @@ _ELECTRON_STALL_ITERS = 32
 # part of the top-Compton-band flux deficit vs the compiled reference
 # binary (VSREF r4); at 128 rounds KN defers are ~extinct.
 _ELECTRON_CAP_DEFER = 16
-_KN_CAP_DEFER = 128
+_KN_CAP_DEFER = int(os.environ.get("GRMONTY_KN_CAP", "128"))
 _THOMSON_CAP = 16
 
 

@@ -110,6 +110,10 @@ def main():
         # tail overrides ship too.
         cfg = profiles.bench_config(pool=1024, env={})
         cfg = cfg._replace(sec_cap=16384, max_outer=200000)
+        if os.environ.get("GRMONTY_EV_HALVE"):
+            cfg = cfg._replace(ev_halve=int(os.environ["GRMONTY_EV_HALVE"]))
+        if os.environ.get("GRMONTY_EV_FORCE"):
+            cfg = cfg._replace(ev_force=int(os.environ["GRMONTY_EV_FORCE"]))
         bk = profiles.bench_sim_kwargs(1024, env={})
         sim_kw = dict(tail_grow_cap=bk["tail_grow_cap"],
                       tail_stall_steps=bk["tail_stall_steps"])
@@ -234,6 +238,12 @@ def main():
 
     lum_e = se[:, :, 1].sum() / n_eng
     lum_o = so[:, :, 1].sum() / n_orc
+    # Honest MC error bars on the luminosity ratio (spectrum channel 13 =
+    # sum((w e)^2)): in the thick regime the luminosity is carried by few
+    # heavy Compton photons and the per-run sigma reaches ~5-10% — a
+    # lum_ratio quoted without it reads as bias when it is variance.
+    lum_sig_e = float(np.sqrt(se[:, :, 13].sum()) / max(se[:, :, 1].sum(), 1e-300))
+    lum_sig_o = float(np.sqrt(so[:, :, 13].sum()) / max(so[:, :, 1].sum(), 1e-300))
     rec_e = n_rec_e / n_eng
     rec_o = n_rec_o / n_orc
 
@@ -326,6 +336,7 @@ def main():
         "lum_per_photon_engine": float(lum_e),
         "lum_per_photon_oracle": float(lum_o),
         "lum_ratio": float(lum_e / lum_o),
+        "lum_ratio_rel_sigma": math.sqrt(lum_sig_e**2 + lum_sig_o**2),
         "recorded_frac_engine": float(rec_e),
         "recorded_frac_oracle": float(rec_o),
         "rec_ratio": float(rec_e / rec_o),
