@@ -1006,7 +1006,14 @@ class Simulation:
             return None
 
     def _pilot_batch(self, plan, warm):
-        """Strided pilot sample (host numpy InitPhotons, raw weights)."""
+        """Strided pilot sample (host numpy InitPhotons, raw weights).
+
+        (A deep-zone booster — 1/8 of the pilot drawn from the densest 1%
+        of zones to pre-warm the max_tau ratchet — was tried in r4 and
+        did NOT move it: deep-born photons die absorbed instead of
+        recording deep taus; the bulk ratchet is driven by rare
+        scattering-cascade realizations no pilot-sized sample reaches.)
+        """
         idx = np.asarray(np.linspace(0, plan.total - 1, warm), np.int64)
         zi = plan.zone_i[idx]
         zj = plan.zone_j[idx]
@@ -1325,9 +1332,37 @@ class Simulation:
                 f"checkpoint claims {resume_waves} waves done but this run "
                 f"has {len(waves)} — emit_chunk/photon_n mismatch")
 
+        # Async checkpointing: save_checkpoint device_gets ~20 MB of engine
+        # state through the tunnel — measured 1-8 s per checkpoint
+        # depending on tunnel weather, paid INSIDE the measured window.
+        # The engine never donates buffers, so the state pytree passed
+        # here is immutable once the next wave's dispatch produced its new
+        # state: a worker thread can fetch+write it while tracking
+        # continues.  One in-flight save at a time (joined before the next
+        # submit and at run end); the atomic tmp+rename in save_checkpoint
+        # keeps a crash mid-write harmless.
+        ck_pool = ThreadPoolExecutor(max_workers=1)
+        ck_fut = [None]
+
+        def _ck_reap():
+            if ck_fut[0] is not None:
+                try:
+                    ck_fut[0].result()
+                except Exception as err:  # noqa: BLE001 - checkpoint is
+                    # best-effort; a device fault here also surfaces in the
+                    # main loop, which owns recovery
+                    log.warning("async checkpoint failed: %s", err)
+                ck_fut[0] = None
+
         def maybe_checkpoint(c, state):
             if checkpoint_path and (c + 1) % checkpoint_every == 0:
-                self.save_checkpoint(checkpoint_path, c + 1, state)
+                _ck_reap()
+                ck_fut[0] = ck_pool.submit(
+                    self.save_checkpoint, checkpoint_path, c + 1, state)
+
+        def ck_join():
+            _ck_reap()
+            ck_pool.shutdown(wait=True)
 
         if not resumed and warm > 0:
             state = self._run_pilot(state, plan, warm, t0)
@@ -1336,7 +1371,8 @@ class Simulation:
             # — the saved key is already advanced past the pilot split,
             # so re-running it would break bit-identical replay).
             if checkpoint_path:
-                self.save_checkpoint(checkpoint_path, 0, state)
+                ck_fut[0] = ck_pool.submit(
+                    self.save_checkpoint, checkpoint_path, 0, state)
 
         if emit_dev:
             for c, (start, limit) in enumerate(waves):
@@ -1382,6 +1418,7 @@ class Simulation:
             finally:
                 pool.shutdown(wait=False, cancel_futures=True)
 
+        ck_join()  # last async checkpoint lands before the file is deleted
         # Snapshot the census before the tail cascade so utilization can be
         # reported per stage (pilot+waves vs whole run incl. tail drain).
         c_waves = jax.device_get(state.counters)
