@@ -103,7 +103,13 @@ def bench_sim_kwargs(pool, ref_mode=False, env=None):
         # waves run a Compton storm whose magnitude varies run-to-run
         # (recorded-count swings of 1.5x observed at warmup=1024).
         warmup=int(env.get("BENCH_WARMUP", "8192")),
-        slice_iters=int(env.get("BENCH_SLICE", "2048")),
+        # 4096-iteration dispatch slices: each slice boundary costs ~3
+        # tunneled roundtrips + a ~200 KB telemetry fetch, and the tunnel's
+        # download path was measured as low as 3.6 MB/s — halving the
+        # slice count took the same run from 344k to 630k ph/s under that
+        # weather (A/B r4; fault-replay granularity is covered by the
+        # async wave checkpoints, not the slice size).
+        slice_iters=int(env.get("BENCH_SLICE", "4096")),
         # No in-memory fault snapshots: the bench recovers via its disk
         # checkpoint + process re-exec; snapshots cost a ~20 MB tunneled
         # device_get per wave (~2-3 s per wave boundary, measured).
