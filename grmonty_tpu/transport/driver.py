@@ -309,10 +309,17 @@ class Simulation:
         self._drain_fns = {}
         # Per-slice telemetry summary, jitted so the slice loop makes ONE
         # dispatch + ONE device_get instead of ~8 tunneled roundtrips.
+        # The spectrum accumulator (~170 KB) is fetched separately and only
+        # every few slices (_run_wave spec_drain): under degraded tunnel
+        # weather (download path measured at 3.6 MB/s) the per-slice spec
+        # fetch alone cost ~upwards of 1 s/slice.  f32 on-device
+        # accumulation over a few-slice window is precision-safe (~1e-5
+        # relative; the f64 host accumulator still takes over at drain).
         self._slice_stats = jax.jit(lambda s: (
-            s.spec, s.counters, s.pool.occupied.sum(),
+            s.counters, s.pool.occupied.sum(),
             (s.pool.alive & ~s.pool.at_event).sum(),
             s.pool.record_pending.sum(), s.backlog_pos, s.sec.count))
+        self._spec_get = jax.jit(lambda s: s.spec)
         self._spec_zero = None  # device-resident zero spectrum, made lazily
         # Sampler runs on CPU (f64) regardless of the engine dtype; inputs
         # are committed to the CPU device so jit compiles there.  The accept
@@ -701,12 +708,23 @@ class Simulation:
                 # network roundtrip, and the previous ~8 roundtrips per
                 # slice cost ~0.5 ms/iter at slice_iters=1024 — a quarter
                 # of the whole hot-step budget.
-                spec_h, counters, occupied, moving, rpend, pos, sec = (
+                counters, occupied, moving, rpend, pos, sec = (
                     jax.device_get(self._slice_stats(state)))
-                self.spec_acc += np.asarray(spec_h, np.float64)
-                state = state._replace(spec=self._spec_zero_dev())
                 occupied, moving, rpend = int(occupied), int(moving), int(rpend)
                 pos, sec = int(pos), int(sec)
+                finished = (
+                    pos >= int(nv)
+                    and sec == 0
+                    and occupied <= tail_exit
+                )
+                # Spectrum drain every few slices / at wave end (see
+                # _slice_stats note) — always BEFORE a snapshot or wave
+                # handoff so spec_acc + a zeroed device spec stay the one
+                # consistent accounting.
+                if finished or (s + 1) % 4 == 0:
+                    spec_h = jax.device_get(self._spec_get(state))
+                    self.spec_acc += np.asarray(spec_h, np.float64)
+                    state = state._replace(spec=self._spec_zero_dev())
             except jax.errors.JaxRuntimeError as err:
                 retries += 1
                 log.warning("TPU fault on wave %d slice %d (retry %d/%d): %s",
@@ -731,11 +749,6 @@ class Simulation:
                 int(counters.n_recorded), int(counters.n_scatt_rec),
                 float(counters.max_tau_scatt), float(counters.avg_ema),
                 done / max(elapsed, 1e-9),
-            )
-            finished = (
-                pos >= int(nv)
-                and sec == 0
-                and occupied <= tail_exit
             )
             if finished:
                 break
@@ -1158,16 +1171,27 @@ class Simulation:
         k0 = random.PRNGKey(0)
         zero_backlog = jnp.zeros((self.emit_chunk, engine_mod.ROW_WIDTH),
                                  self.cfg.dtype)
+        # Warm CONCURRENTLY where possible: jit first-call compiles go
+        # through the remote-compile service and release the GIL, so the
+        # sampler's compile overlaps the main engine's (the dispatches
+        # themselves still serialize on the one device — the win is the
+        # compile/load latency, the dominant warm cost on a warm disk
+        # cache through a high-latency tunnel).
+        warm_pool = ThreadPoolExecutor(max_workers=4)
+        fut_sampler = None
         if (jax.default_backend() != "cpu"
                 and os.environ.get("GRMONTY_EMIT_DEVICE", "1") == "1"):
             self._ensure_dev_sampler(plan)
-            jax.block_until_ready(self._dev_sampler(
-                k0, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)))
-            t_w = stage("device sampler")
+            fut_sampler = warm_pool.submit(
+                lambda: jax.block_until_ready(self._dev_sampler(
+                    k0, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))))
         state = self.engine["fresh_state"](k0)
         jax.block_until_ready(
             self._run_jit(state, zero_backlog, np.int32(0), np.int32(0)))
         t_w = stage("main engine")
+        if fut_sampler is not None:
+            fut_sampler.result()
+            t_w = stage("device sampler")
         # The tail-drain cascade engines (driver._drain_tail stage sizes)
         # AND their gather/merge/census jits: the three per-stage drain
         # programs gather/scatter ~45 pool leaves each and cost ~20 s of
@@ -1175,15 +1199,23 @@ class Simulation:
         # (the r3 cold-cache bench lost ~25 s of its 95 s elapsed there).
         one_row = jnp.zeros((1, engine_mod.ROW_WIDTH), self.cfg.dtype)
         sizes = self._tail_sizes()
+        tail_futs = []
         for si, n_t in enumerate(sizes):
             exit_occ = sizes[si + 1] if si + 1 < len(sizes) else 0
+            # build serially (mutates the engine caches); warm in threads
             eng, run = self._tail_engine(n_t, exit_occ)
-            jax.block_until_ready(run(eng["fresh_state"](k0), one_row))
             gather_fn, merge_fn, census = self._drain_jits(n_t)
-            small, wide = gather_fn(state.pool)
-            jax.block_until_ready(merge_fn(wide, small))
-            jax.block_until_ready(census(state.pool, state.sec))
-            t_w = stage(f"tail engine {n_t}")
+
+            def _warm(run=run, eng=eng, g=gather_fn, m=merge_fn, c=census):
+                jax.block_until_ready(run(eng["fresh_state"](k0), one_row))
+                small, wide = g(state.pool)
+                jax.block_until_ready(m(wide, small))
+                jax.block_until_ready(c(state.pool, state.sec))
+
+            tail_futs.append(warm_pool.submit(_warm))
+        for si, f in enumerate(tail_futs):
+            f.result()
+            t_w = stage(f"tail engine {sizes[si]}")
         # The host emission sampler at the pilot's (warm,) shape: its CPU
         # jit compile (~10 s on the 1-core host) otherwise lands between
         # the transport clock start and the pilot (measured: 11 s of the
@@ -1205,6 +1237,7 @@ class Simulation:
             jax.block_until_ready(run(
                 eng["fresh_state"](k0),
                 jnp.zeros((warm, engine_mod.ROW_WIDTH), self.cfg.dtype)))
+        warm_pool.shutdown(wait=True)
 
     def run_native_cpu(self, progress_every=5000):
         """Emit + track everything on the native C++ CPU backend.
