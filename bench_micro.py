@@ -68,6 +68,7 @@ def main():
         col_gather=os.environ.get("MICRO_COL_GATHER", "0") == "1",
         mxu_extract=os.environ.get("MICRO_MXU", "0") == "1",
         gather_split=int(os.environ.get("MICRO_GATHER_SPLIT", "1")),
+        hot_halves=int(os.environ.get("MICRO_HALVES", "1")),
         refill_period=int(os.environ.get("MICRO_REFILL_PERIOD", "0")),
         light_k=int(os.environ.get("MICRO_LIGHT_K", "0")),
         bias_ema=float(os.environ.get("MICRO_BIAS_EMA", "0")),

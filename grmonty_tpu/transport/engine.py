@@ -226,6 +226,20 @@ class EngineConfig(typing.NamedTuple):
     #   same: TPU row gathers are per-index latency-bound).  Second-order
     #   interpolation deviation (blend-of-derived vs derive-of-blended);
     #   chi2-gated.  XLA shared hot path only.
+    hot_halves: int = 1  # run the hot iteration as this many independent
+    #   pool-part chains (a -> corner gather -> b each): XLA overlaps one
+    #   part's gather DMA with another part's VPU phases, hiding part of
+    #   the ~0.26 ms gather that a single full-width chain leaves exposed
+    #   (tools/probe_pipe.py: 2/4 interleaved chains at 0.79x/0.70x the
+    #   serial cost at pool=65536).  Exact — same per-lane math on the
+    #   same uniforms, concatenated in order.  Must divide n_pool.
+    #   MEASURED (bench_micro on v5e, bench config): an alternative route
+    #   to the same DMA-overlap win as gather_split — halves=2@split=4
+    #   gives hot_step 0.383 ms vs the shipped split=8 serial 0.385;
+    #   halves=4@split=4 0.370; combining halves=2 WITH split=8
+    #   over-fragments the DMAs and regresses to 0.733.  Shipped default
+    #   stays 1 (+split=8); the knob is kept as the tested scaffold for a
+    #   future fused-gather layout.
     ev_halve: int = 16  # scatter-event anti-stall: halve the sampler
     #   theta_e every this many deferred phases (see process_scatters —
     #   the old value 2 softened the electron spectrum in exactly the
@@ -1325,20 +1339,43 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         return (jax.enable_x64(False) if dt == jnp.float32
                 else contextlib.nullcontext())
 
-    def hot_step_shared(state: State) -> State:
-        p = state.pool
-        key, k_roul2, k_x1 = random.split(state.key, 3)
-        u_roul = random.uniform(k_roul2, p.w.shape, dt)
-        u_x1 = random.uniform(k_x1, p.w.shape, dt)
+    def _slice_pool(p, sl):
+        """Slice every lane-axis pool leaf; leave ()/narrow leaves alone."""
+        f = (lambda a: a[..., sl]
+             if (hasattr(a, "ndim") and a.ndim
+                 and a.shape[-1] == cfg.n_pool) else a)
+        return jax.tree.map(f, p)
 
+    def _cat_dicts(ds):
+        """Concatenate a list of phase-output dicts along the lane axis."""
+        out = {}
+        for k, v0 in ds[0].items():
+            if isinstance(v0, tuple):
+                out[k] = tuple(
+                    jnp.concatenate([d[k][i] for d in ds])
+                    for i in range(len(v0)))
+            else:
+                out[k] = jnp.concatenate([d[k] for d in ds])
+        return out
+
+    def _hot_part(q, u_roul, u_x1, bias_s):
+        """One a -> gather -> b chain over a pool part ``q``.
+
+        With EngineConfig.hot_halves > 1 the pool runs as independent
+        part-chains: XLA can overlap one part's corner-gather DMA with
+        another part's VPU phases (the serial full-width chain leaves the
+        ~0.26 ms gather unhidden — tools/probe_pipe.py measured 2/4
+        interleaved chains at 0.79x/0.70x the serial cost).  Exact: the
+        same per-lane math on the same uniforms, concatenated in order.
+        """
         with _phase_ctx():
             A = hot_phase_a(
-                x_comps(p.x), x_comps(p.k), x_comps(p.dkdlam), p.e_0_s,
-                p.dl_shrink, p.pend_dl, p.pend_push, p.at_event, p.alive,
-                p.w, p.record_pending, u_roul,
+                x_comps(q.x), x_comps(q.k), x_comps(q.dkdlam), q.e_0_s,
+                q.dl_shrink, q.pend_dl, q.pend_push, q.at_event, q.alive,
+                q.w, q.record_pending, u_roul,
                 mc, cfg.fp_iters, weight_min, SHRINK_FLOOR, cfg.ref_err_metric,
                 cfg.grow_cap, cfg.grow_rate, cfg.grow_tau_cap,
-                p.alpha_scatti, p.bi,
+                q.alpha_scatti, q.bi,
             )
         if cfg.col_gather:
             # Transposed-table gather: (32, N) with lanes along the pool
@@ -1359,17 +1396,39 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         with _phase_ctx():
             B = hot_phase_b(
                 rows, A["x"], A["k"], A["dkdlam"], A["e_0_s"], A["w"],
-                p.alpha_scatti, p.alpha_absi, p.bi, p.tau_abs, p.tau_scatt,
-                p.interacting, A["pend_dl"], A["pend_push"], p.sec_w, p.n_step,
+                q.alpha_scatti, q.alpha_absi, q.bi, q.tau_abs, q.tau_scatt,
+                q.interacting, A["pend_dl"], A["pend_push"], q.sec_w, q.n_step,
                 A["alive"],
-                x_comps(p.x), x_comps(p.k), x_comps(p.dkdlam), p.e_0_s,
+                x_comps(q.x), x_comps(q.k), x_comps(q.dkdlam), q.e_0_s,
                 A["seg"], A["commit"], A["moving"], A["was_pend"], A["stopped"],
-                u_x1, _bias_scale(state.counters).astype(dt),
+                u_x1, bias_s,
                 mc, hc_coeffs, k2_coeffs, weight_min, cfg.stall_steps,
                 derived=cfg.derived_fluid,
                 tau_cap=(cfg.grow_tau_cap if cfg.grow_cap > 1.0 else 0.0),
                 grown=A["grown"],
             )
+        return A, B
+
+    def hot_step_shared(state: State) -> State:
+        p = state.pool
+        key, k_roul2, k_x1 = random.split(state.key, 3)
+        u_roul = random.uniform(k_roul2, p.w.shape, dt)
+        u_x1 = random.uniform(k_x1, p.w.shape, dt)
+        bias_s = _bias_scale(state.counters).astype(dt)
+
+        hn = max(1, cfg.hot_halves)
+        if hn > 1 and cfg.n_pool % hn == 0:
+            hsz = cfg.n_pool // hn
+            parts = [
+                _hot_part(_slice_pool(p, slice(i * hsz, (i + 1) * hsz)),
+                          u_roul[i * hsz:(i + 1) * hsz],
+                          u_x1[i * hsz:(i + 1) * hsz], bias_s)
+                for i in range(hn)
+            ]
+            A = _cat_dicts([a for a, _ in parts])
+            B = _cat_dicts([b for _, b in parts])
+        else:
+            A, B = _hot_part(p, u_roul, u_x1, bias_s)
         dl_shrink_n = A["dl_shrink"]
         if cfg.grow_cap > 1.0 and cfg.grow_tau_cap > 0.0:
             dl_shrink_n = jnp.where(B["tau_over"] | B["entry_roll"],

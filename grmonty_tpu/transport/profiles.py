@@ -81,6 +81,7 @@ def bench_config(pool=65536, dtype=None, ref_mode=False, env=None,
         # 8 measured best on v5e (bench_micro r4: hot_step 0.435 ms at 4,
         # 0.385 at 8, 0.758 at 16 — too many tiny DMAs inverts the win).
         gather_split=int(env.get("BENCH_GATHER_SPLIT", "8")),
+        hot_halves=int(env.get("BENCH_HALVES", "1")),
         pallas_hot=env.get("BENCH_PALLAS", "0") == "1",
         pallas_block=int(env.get("BENCH_PALLAS_BLOCK", "2048")),
     )
