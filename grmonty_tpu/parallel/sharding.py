@@ -228,14 +228,18 @@ class ShardedSimulation(driver_mod.Simulation):
         dat = np.load(path, allow_pickle=False)
         meta = [int(x) for x in dat["meta"]]
         chunks_done, n_leaves, photon_n, n_pool, emit_chunk, n_dev = meta[:6]
-        ramp = meta[6] if len(meta) > 6 else 1
+        # Pre-ramp-metadata checkpoints were written with the non-ramped
+        # chunk schedule — default 0 so they only load under GRMONTY_RAMP=0
+        # (advisor r4 medium finding).
+        ramp = meta[6] if len(meta) > 6 else 0
         ramp_now = 1 if os.environ.get("GRMONTY_RAMP", "1") == "1" else 0
         if (photon_n, n_pool, emit_chunk, n_dev, ramp) != (
                 self.photon_n, self.cfg.n_pool, self.emit_chunk,
                 self.n_devices, ramp_now):
             raise ValueError(
                 f"sharded checkpoint {path} from a different run setup: "
-                f"{meta[2:]} != {(self.photon_n, self.cfg.n_pool, self.emit_chunk, self.n_devices)}")
+                f"photon_n/n_pool/emit_chunk/n_dev/ramp {meta[2:]} != "
+                f"{(self.photon_n, self.cfg.n_pool, self.emit_chunk, self.n_devices, ramp_now)}")
         treedef = jax.tree_util.tree_structure(template_state)
         if treedef.num_leaves != n_leaves:
             raise ValueError("sharded checkpoint state structure mismatch")

@@ -1339,12 +1339,21 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         return (jax.enable_x64(False) if dt == jnp.float32
                 else contextlib.nullcontext())
 
+    # Lane-axis fields the hot part-chains read — an explicit whitelist,
+    # NOT trailing-dim matching: a non-lane leaf whose width happens to
+    # equal n_pool (e.g. event-queue capacity) must never be part-sliced
+    # (advisor r4 low finding).
+    _HOT_FIELDS = ("x", "k", "dkdlam", "w", "e_0_s", "dl_shrink", "pend_dl",
+                   "pend_push", "at_event", "alive", "record_pending",
+                   "alpha_scatti", "alpha_absi", "bi", "interacting",
+                   "sec_w", "tau_abs", "tau_scatt", "n_step")
+
     def _slice_pool(p, sl):
-        """Slice every lane-axis pool leaf; leave ()/narrow leaves alone."""
-        f = (lambda a: a[..., sl]
-             if (hasattr(a, "ndim") and a.ndim
-                 and a.shape[-1] == cfg.n_pool) else a)
-        return jax.tree.map(f, p)
+        """Slice the hot-phase lane-axis pool fields; leave the rest."""
+        f = lambda a: a[..., sl] if hasattr(a, "ndim") and a.ndim else a
+        return p._replace(**{
+            name: jax.tree.map(f, getattr(p, name)) for name in _HOT_FIELDS
+        })
 
     def _cat_dicts(ds):
         """Concatenate a list of phase-output dicts along the lane axis."""
@@ -1417,7 +1426,12 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         bias_s = _bias_scale(state.counters).astype(dt)
 
         hn = max(1, cfg.hot_halves)
-        if hn > 1 and cfg.n_pool % hn == 0:
+        if hn > 1 and cfg.n_pool % hn != 0:
+            # the contract is "must divide n_pool" — fail loudly instead of
+            # silently running serial (advisor r4 low finding)
+            raise ValueError(
+                f"EngineConfig.hot_halves={hn} must divide n_pool={cfg.n_pool}")
+        if hn > 1:
             hsz = cfg.n_pool // hn
             parts = [
                 _hot_part(_slice_pool(p, slice(i * hsz, (i + 1) * hsz)),
@@ -2239,6 +2253,7 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         light phase (EngineConfig.refill_period); ``width``/``use_sec``
         narrow the light phase's working sets."""
         occ0 = p.occupied  # for the retired-steps accounting below
+        rec0 = p.record_pending  # pre-record snapshot for the stall census
         if "record" not in dbg:
             spec, counters, p = spectrum_add(spec, counters, p, width=width)
         # Free dead-but-unrecorded lanes (horizon, roulette, absorbed) —
@@ -2252,8 +2267,12 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         freed = occ0 & ~p.occupied
         # Step-cap truncation census: a freed lane with n_step past the cap
         # was killed by the stall check (hot_phase_b `over`), not physics —
-        # its remaining weight left the simulation unrecorded.
-        stalled = freed & (p.n_step > cfg.stall_steps)
+        # its remaining weight left the simulation unrecorded.  Lanes that
+        # ESCAPED on the crossing step (record_pending consumed by
+        # spectrum_add just above) were recorded, not truncated — exclude
+        # them or the census double-counts (advisor r4 low finding).
+        stalled = (freed & (p.n_step > cfg.stall_steps)
+                   & ~(rec0 & ~p.record_pending))
         counters = counters._replace(
             n_retired=counters.n_retired + jnp.sum(freed).astype(jnp.int64),
             n_steps_retired=counters.n_steps_retired

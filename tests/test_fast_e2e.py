@@ -56,3 +56,37 @@ def test_cpu_tracker_smoke(sim):
     spec = tr.run(b, limit=2)
     assert np.isfinite(spec).all()
     assert tr.n_recorded > 0
+
+
+def test_warm_pilot_accounting(sim, tmp_path):
+    """Counters == spectrum with the host-oracle pilot ACTIVE (warmup > 0).
+
+    Round-4 shipped with `run()` over-reporting n_recorded by the pilot's
+    records in every single-chip run: the host-oracle pilot injects its
+    n_recorded/n_scatt_rec into the engine counters (bias warmup) while
+    its spectrum is deliberately dropped, and only the SHARDED driver
+    subtracted the baseline.  The then-fast-tier e2e pinned warmup=0 and
+    was blind to the class.  This test pins the invariant with the pilot
+    on: every photon binned in the spectrum is counted exactly once
+    (harm_model.cpp:409-413 counter reconciliation).
+    """
+    from grmonty_tpu.models import torus
+    from grmonty_tpu.transport import driver
+    from grmonty_tpu.transport.oracle_native import NativeTracker  # noqa: F401
+
+    path = tmp_path / "torus_dump"
+    torus.write_torus_dump(str(path), n1=64, n2=32)
+    cfg = engine_mod.EngineConfig(
+        n_pool=64, m_period=8, sec_cap=512, max_outer=40000, stall_steps=40000
+    )
+    s = driver.Simulation(
+        str(path), photon_n=30, mass_unit=4.0e18, config=cfg,
+        emit_chunk=1024, warmup=64,
+    )
+    spec, stats = s.run()
+    # the host-oracle pilot must actually have run (else this test is not
+    # exercising the accounting class it exists for)
+    assert s._warm_counts is not None and s._warm_counts[0] > 0
+    assert stats["n_recorded"] > 0
+    nph = spec[: engine_mod.N_BINS, 2].sum()
+    assert nph == stats["n_recorded"]

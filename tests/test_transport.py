@@ -155,13 +155,32 @@ def test_engine_vs_oracle_statistics(sim, engine_run):
     eng_lum = spec[: engine_mod.N_BINS, 1].sum() / stats["n_created"]
 
     plan = sim.plan()
-    backlog = jax.device_get(sim.emit(plan, 0, 2048))
-    # the driver pre-scales weights for the engine; the oracle runs raw
-    backlog = backlog._replace(w=np.asarray(backlog.w) / sim.cfg.weight_scale)
-    tr = cpu_reference.CPUTracker(sim.mc, sim.tables, sim.prims, seed=17)
+    # Apples-to-apples oracle sample (two r5 fixes — the old first-2048
+    # slice compared a COLD-counter oracle on innermost-zone photons
+    # against the warm-converged full-plan engine, and only passed while
+    # the r4 warm-pilot counter inflation held eng_rec up):
+    #  1. STRIDED photons (the driver pilot's zone mix), not the plan head
+    #     whose inner-zone photons scatter far above the plan average;
+    #  2. WARM-SEEDED bias counters: records-per-primary is bias-feedback
+    #     dependent by design (harm_model.cpp:1391-1404 — cold counters
+    #     run a Compton storm: measured 14.2 rec/primary cold vs 5.4 for
+    #     the warm engine), so the oracle gets the same native-pilot
+    #     warmup the engine got before measuring.
+    from grmonty_tpu.transport.oracle_native import NativeTracker
+
     n_orc = 40
-    tr.run(backlog, limit=n_orc)
-    orc_rec = tr.n_recorded / n_orc
+    warm_batch = sim._pilot_batch(plan, 128)
+    nt = NativeTracker(sim.mc, sim.tables, np.asarray(sim.prims),
+                       seed=sim.seed + 7)
+    nt.run(warm_batch._replace(w=np.asarray(warm_batch.w, np.float64)),
+           progress_every=0)
+    batch = sim._pilot_batch(plan, n_orc)  # raw (unscaled) weights
+    tr = cpu_reference.CPUTracker(sim.mc, sim.tables, sim.prims, seed=17)
+    tr.n_recorded = nt.n_recorded
+    tr.n_scatt_rec = nt.n_scatt_rec
+    tr.max_tau_scatt = nt.max_tau_scatt
+    tr.run(batch, limit=n_orc)
+    orc_rec = (tr.n_recorded - nt.n_recorded) / n_orc
     orc_lum = tr.spec[:, :, 1].sum() / n_orc
 
     # Coarse statistical agreement (small samples, heavy-tailed weights,
