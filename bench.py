@@ -178,6 +178,8 @@ def main():
         # stall_steps and the fraction of recorded weight they carried out.
         "n_stall": stats.get("n_stall_killed", 0),
         "w_stall_frac": float(f"{stats.get('w_stall_frac', 0.0):.3g}"),
+        # out-of-table sigma lookups (must be 0; ops/hotcross.clamp_hit)
+        "n_hc_clamp": stats.get("n_hc_clamp", 0),
         # Rate-definition transparency (the reference clocks its whole
         # run_simulation with kernels precompiled by nvcc,
         # harm_model.cpp:405-413): elapsed_s covers emission + transport +

@@ -410,6 +410,7 @@ class ShardedSimulation(driver_mod.Simulation):
             "photon_rate": plan.total / max(elapsed, 1e-9),
             "n_devices": self.n_devices,
             "n_stall_killed": int(counters.n_stall),
+            "n_hc_clamp": int(counters.n_hc_clamp),
         }
         # Step-cap truncation fraction (see driver.run): scaled-weight units
         # on both sides; spec here is already unscaled, so rescale.

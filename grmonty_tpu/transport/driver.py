@@ -1245,8 +1245,25 @@ class Simulation:
         # (the r3 cold-cache bench lost ~25 s of its 95 s elapsed there).
         one_row = jnp.zeros((1, engine_mod.ROW_WIDTH), self.cfg.dtype)
         sizes = self._tail_sizes()
+        # The FULL-WIDTH drain stage only engages when _drain_tail enters
+        # with occupancy above the next stage's size (or queued
+        # secondaries) — but the last wave's exit condition already drains
+        # the MAIN engine to min(n_pool/16, wave_tail_exit) with sec == 0
+        # (run()/wave_te), so when that bound is <= sizes[1] the stage is
+        # structurally unreachable: don't pay its warm compile+load (~50-90
+        # s through the tunnel, the single largest warm item — measured in
+        # the r5 probe with a HOT cache).  It stays lazily built
+        # (_tail_engine cache) for non-default drain entries.
+        last_te = min(max(1, self.cfg.n_pool // 16), self._wave_tail_exit)
+        skip_full = (len(sizes) > 1 and sizes[0] == self.cfg.n_pool
+                     and last_te <= sizes[1])
         tail_futs = []
         for si, n_t in enumerate(sizes):
+            if si == 0 and skip_full:
+                log.info("warmup: tail engine %d skipped (unreachable: "
+                         "last wave drains to %d <= %d)",
+                         n_t, last_te, sizes[1])
+                continue
             exit_occ = sizes[si + 1] if si + 1 < len(sizes) else 0
             # build serially (mutates the engine caches); warm in threads
             eng, run = self._tail_engine(n_t, exit_occ)
@@ -1258,10 +1275,10 @@ class Simulation:
                 jax.block_until_ready(m(wide, small))
                 jax.block_until_ready(c(state.pool, state.sec))
 
-            tail_futs.append(warm_pool.submit(_warm))
-        for si, f in enumerate(tail_futs):
+            tail_futs.append((n_t, warm_pool.submit(_warm)))
+        for n_t, f in tail_futs:
             f.result()
-            t_w = stage(f"tail engine {sizes[si]}")
+            t_w = stage(f"tail engine {n_t}")
         # The host emission sampler at the pilot's (warm,) shape: its CPU
         # jit compile (~10 s on the 1-core host) otherwise lands between
         # the transport clock start and the pilot (measured: 11 s of the
@@ -1546,6 +1563,12 @@ class Simulation:
         w_stall = float(counters.w_stall)
         stats["n_stall_killed"] = int(counters.n_stall)
         stats["w_stall_frac"] = w_stall / max(w_rec + w_stall, 1e-300)
+        # Hotcross clamp census (ops/hotcross.clamp_hit): must stay 0 or
+        # the device sigma deviates from the reference's numeric fallback.
+        stats["n_hc_clamp"] = int(counters.n_hc_clamp)
+        if stats["n_hc_clamp"]:
+            log.warning("hotcross clamp hits: %d interacting steps left the "
+                        "sigma table domain", stats["n_hc_clamp"])
         if stats["n_stall_killed"]:
             log.info("step-cap truncation: %d photons, %.3g of recorded "
                      "weight", stats["n_stall_killed"], stats["w_stall_frac"])

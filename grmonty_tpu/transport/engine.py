@@ -452,6 +452,12 @@ class Counters(typing.NamedTuple):
     # comparable to the spectrum's channel-0 sums).
     n_stall: jnp.ndarray  # int64: lanes killed at the step cap
     w_stall: jnp.ndarray  # engine-dtype: summed remaining weight of those
+    # Hotcross table-domain clamp census (XLA shared hot path): interacting
+    # lane-steps whose (w, theta_e) fell in the region where the reference
+    # re-runs the numeric integral (hotcross.cpp:81-106) but the device
+    # lookup clamps (ops/hotcross.clamp_hit).  The accuracy harness asserts
+    # this stays 0 — proving the documented deviation is unreachable.
+    n_hc_clamp: jnp.ndarray  # int64
 
 
 class State(typing.NamedTuple):
@@ -520,6 +526,7 @@ def init_counters(max_tau_scatt_init, dtype):
         ls_committed=zi(), ls_parked=zi(),
         avg_ema=jnp.zeros((), dtype), ema_scatt_mark=zi(), ema_rec_mark=zi(),
         n_stall=zi(), w_stall=jnp.zeros((), dtype),
+        n_hc_clamp=zi(),
     )
 
 
@@ -817,6 +824,14 @@ def hot_phase_b(rows, x, k, dkdlam, e_0_s, w, alpha_scatti, alpha_absi, bi,
     sin_th, nu = radiation.kinematics_sin_c(k, u_cov, b_cov, b_mag, mc.b_unit)
     nu_safe = jnp.abs(nu) + consts.EPS
     a_scf = radiation.alpha_inv_scatt_c(nu_safe, theta_e, n_e, hc_coeffs)
+    # Hotcross clamp census: lanes whose sigma input left the table domain
+    # (where the reference re-runs the numeric integral; the surrogate
+    # clamps — ops/hotcross.clamp_hit).  Masked to lanes whose opacity
+    # value actually enters the transport below.
+    from grmonty_tpu.ops import hotcross as _hc
+
+    e_gamma = consts.HPL * nu_safe / (consts.ME * consts.CL * consts.CL)
+    hc_hit = _hc.clamp_hit(e_gamma, theta_e) & (n_e > 0.0)
     a_abf = radiation.alpha_inv_abs_sin_c(nu_safe, theta_e, n_e, b_mag,
                                           sin_th, k2_coeffs)
     # Scattering bias (harm_model.cpp:1391-1404) from the scalar factor.
@@ -931,6 +946,7 @@ def hot_phase_b(rows, x, k, dkdlam, e_0_s, w, alpha_scatti, alpha_absi, bi,
         # for the arrival point are already in hand).  Dead outputs
         # otherwise (DCE'd by both XLA and Mosaic).
         a_scf=a_scf, a_abf=a_abf, bf=bf, nu=nu, n_e=n_e,
+        hc_clamp=hc_hit & inter,
     )
 
 
@@ -1469,6 +1485,9 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
                 ))
         counters = _util_counters(state.counters, p.occupied, A["moving"],
                                   A["commit"], p.at_event)
+        counters = counters._replace(
+            n_hc_clamp=counters.n_hc_clamp
+            + jnp.sum(B["hc_clamp"]).astype(jnp.int64))
         return state._replace(pool=p, counters=counters, key=key,
                               it=state.it + 1)
 

