@@ -55,10 +55,15 @@ def _state_specs(detached_events=False):
     pool = engine_mod.Pool(
         x=vec4(), k=vec4(), dkdlam=vec4(),
         frow=(),
+        # trace_birth is a single-chip diagnostic (tools/replay_deep_tau);
+        # sharded engines run with it off, so the birth-trace fields are
+        # always the empty tuple / (0,)-array here.
+        bx=(), bk=(), bw=P("ph"),
         ev_x=(vec4() if detached_events else ()),
         ev_k=(vec4() if detached_events else ()),
         **{f: P("ph") for f in engine_mod.Pool._fields
-           if f not in ("x", "k", "dkdlam", "frow", "ev_x", "ev_k")},
+           if f not in ("x", "k", "dkdlam", "frow", "ev_x", "ev_k",
+                        "bx", "bk", "bw")},
     )
     sec = engine_mod.SecBuf(rows=P("ph", None), count=P("ph"))
     counters = engine_mod.Counters(*([P("ph")] * len(engine_mod.Counters._fields)))
@@ -159,6 +164,13 @@ class ShardedSimulation(driver_mod.Simulation):
                 avg_ema=jnp.max(counters.avg_ema),
                 ema_scatt_mark=jnp.sum(counters.ema_scatt_mark),
                 ema_rec_mark=jnp.sum(counters.ema_rec_mark),
+                # diagnostics: birth-trace capture is single-chip only
+                # (take shard 0's values); the censuses sum.
+                mt_bx=counters.mt_bx[0], mt_bk=counters.mt_bk[0],
+                mt_bw=counters.mt_bw[0], mt_nsc0=counters.mt_nsc0[0],
+                n_ev_soft=jnp.sum(counters.n_ev_soft),
+                n_ev_forced=jnp.sum(counters.n_ev_forced),
+                n_hc_clamp=jnp.sum(counters.n_hc_clamp),
             )
 
         self._reduce = _reduce

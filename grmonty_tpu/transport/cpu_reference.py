@@ -347,12 +347,14 @@ class CPUTracker:
         row[12] += w * ph["e_0"]
         row[13] += (w * ph["e"]) ** 2  # MC variance of the energy channel
         row[14] += 1.0 if ph.get("_sec") else 0.0  # secondary-origin count
+        row[15] += ph.get("_nsc0", 0)  # summed birth generation (kappa^g)
 
     def track(self, ph, depth=0):
         """track_super_photon (harm_model.cpp:894-1069)."""
         if np.any(np.isnan(ph["x"])) or np.any(np.isnan(ph["k"])) or ph["w"] == 0.0:
             return
         ph["_sec"] = depth > 0  # origin tag for spectrum channel 14
+        ph["_nsc0"] = ph["n_scatt"] if depth > 0 else 0  # birth generation
         mc = self.mc
         g_cov, fs = self._fluid(jnp.asarray(ph["x"]))
         theta, nu, a_sc, a_ab = self._alphas(jnp.asarray(ph["k"]), fs)

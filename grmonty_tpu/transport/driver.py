@@ -1566,6 +1566,9 @@ class Simulation:
         # Hotcross clamp census (ops/hotcross.clamp_hit): must stay 0 or
         # the device sigma deviates from the reference's numeric fallback.
         stats["n_hc_clamp"] = int(counters.n_hc_clamp)
+        # Anti-stall census: events consumed with a softened/forced draw.
+        stats["n_ev_soft"] = int(counters.n_ev_soft)
+        stats["n_ev_forced"] = int(counters.n_ev_forced)
         if stats["n_hc_clamp"]:
             log.warning("hotcross clamp hits: %d interacting steps left the "
                         "sigma table domain", stats["n_hc_clamp"])

@@ -57,13 +57,17 @@ from grmonty_tpu.ops import cheb, emission, fluid, gather, geometry, radiation, 
 
 PI = math.pi
 
-N_SPEC_CHAN = 15  # Spectrum struct channels (harm_data.hpp:129-143) + two:
+N_SPEC_CHAN = 16  # Spectrum struct channels (harm_data.hpp:129-143) + three:
 #   extra: channel 13 accumulates sum((w*e)^2), the per-bin MC variance of
 #   the energy channel (not in the reference; powers the accuracy harness'
 #   chi^2 error bars).  It is quadratic in the weight scale — see
 #   driver.unscale_spectrum.  channel 14 counts recorded SECONDARIES
 #   (photons born at a scatter event, Pool.nsc0 > 0) for the
-#   bias-equilibrium count-shape gate (VERDICT r3 #5).
+#   bias-equilibrium count-shape gate (VERDICT r3 #5).  channel 15 sums
+#   the birth GENERATION nsc0 over recorded secondaries — generation-g
+#   populations scale as kappa^g under a bias-equilibrium offset kappa,
+#   so gbar(band) = ch15/ch14 powers the per-generation count-shape model
+#   (VERDICT r4 #5).
 # channel order: dn_dle, de_dle, nph, nscatt, x1i_av, x2i_sq, x3f_sq,
 #                tau_abs, tau_scatt, ne_0, theta_e_0, b_0, e_0
 N_BINS = consts.N_TH_BINS * consts.N_E_BINS
@@ -132,6 +136,29 @@ class EngineConfig(typing.NamedTuple):
     #   events per phase exceed n_pool/8 and the pool starves at ~50%
     #   occupancy with ~20% of occupied lanes parked at_event — raise
     #   ev_k (or lower m_period) so ev_k >= deaths_per_iter * m_period.
+    trace_birth: bool = False  # diagnostic: carry each lane's BIRTH state
+    #   (x, k, w at load — Pool.bx/bk/bw) and capture, at record time, the
+    #   birth state of the photon holding the max_tau_scatt ratchet
+    #   (Counters.mt_*).  Powers the deep-tau path-replay harness
+    #   (tools/replay_deep_tau.py, VERDICT r4 #4): the captured birth
+    #   state replays through the scalar oracle's nominal-step integrator
+    #   to classify engine deep-tau records as true tail vs grown-step
+    #   trapezoid artifact.  Off in production (9 extra (N,) carries).
+    step_ctrl: float = 0.0  # error-PROPORTIONAL step controller safety
+    #   factor (0 = off, legacy halve/grow ladder).  >0: the per-lane step
+    #   factor is driven by the MEASURED error of each attempt,
+    #   fac = step_ctrl / sqrt(err/tol), clamped to [0.25, 2] per step —
+    #   standard adaptive-ODE step control (the implicit midpoint's local
+    #   error is ~O(h^2) in the fixed-point-convergence metric, so the
+    #   1/2-power targets the tolerance boundary in one move).  The commit
+    #   gate (fixed-point convergence + conserved-energy drift, identical
+    #   tests/tolerances to the reference's halving recursion,
+    #   harm_model.cpp:1217-1289) is UNCHANGED — this only decides the
+    #   next attempt's size.  Measured motivation: the geometric ladder
+    #   wastes ~15% of moving slots on rejected boundary probes and takes
+    #   ~12 commits to regrow to grow_cap=8 (half a typical photon
+    #   lifetime); the controller removes both.  Shared XLA hot path and
+    #   the fused Pallas kernels (rsqrt is a Mosaic primitive).
     grow_rate: float = 2.0  # per-commit multiplier of the per-lane step
     #   factor dl_shrink (the halving side stays x0.5, matching the
     #   reference's bisection).  2.0 = symmetric double/halve, which at the
@@ -379,6 +406,9 @@ class Pool(typing.NamedTuple):
     #   (32, N) stack — so the compacted refresh is 32 in-place 1D lane
     #   scatters instead of a column scatter that defeats carry aliasing.
     cell: jnp.ndarray  # (N,) int32 cell id the cache was gathered for (-1 none)
+    bx: tuple  # 4 x (N,) BIRTH position (trace_birth only; ())
+    bk: tuple  # 4 x (N,) birth wave vector (trace_birth only; ())
+    bw: jnp.ndarray  # (N,) birth weight (trace_birth only; (0,))
     ev_x: tuple  # 4 x (N,) event-point position (detached_events only; ())
     ev_k: tuple  # 4 x (N,) parent momentum at the event point
     ev_w: jnp.ndarray  # (N,) secondary weight captured at the event
@@ -452,6 +482,22 @@ class Counters(typing.NamedTuple):
     # comparable to the spectrum's channel-0 sums).
     n_stall: jnp.ndarray  # int64: lanes killed at the step cap
     w_stall: jnp.ndarray  # engine-dtype: summed remaining weight of those
+    # Deep-tau trace capture (EngineConfig.trace_birth only; zeros
+    # otherwise): the BIRTH state of the recorded photon currently holding
+    # the max_tau_scatt ratchet, for the path-replay harness
+    # (tools/replay_deep_tau.py).
+    mt_bx: jnp.ndarray  # (4,) birth position
+    mt_bk: jnp.ndarray  # (4,) birth wave vector
+    mt_bw: jnp.ndarray  # scalar birth weight
+    mt_nsc0: jnp.ndarray  # int64 birth generation
+    # Scatter-event anti-stall census: events CONSUMED with a softened
+    # (>= ev_halve defers, theta_e halved at least once) or force-accepted
+    # (>= ev_force defers) sampler draw.  The anti-stall distorts exactly
+    # the hot-zone events that build the top Compton bands (the reference
+    # only halves after 1e7 scalar tries, proba.cpp:59-64), so the
+    # accuracy harness needs to SEE how many events it touched.
+    n_ev_soft: jnp.ndarray  # int64
+    n_ev_forced: jnp.ndarray  # int64
     # Hotcross table-domain clamp census (XLA shared hot path): interacting
     # lane-steps whose (w, theta_e) fell in the region where the reference
     # re-runs the numeric integral (hotcross.cpp:81-106) but the device
@@ -481,7 +527,8 @@ def where4(m, a, b):
     return tuple(jnp.where(m, ai, bi) for ai, bi in zip(a, b))
 
 
-def empty_pool(n, dtype, fluid_cache=False, detached_events=False):
+def empty_pool(n, dtype, fluid_cache=False, detached_events=False,
+               trace_birth=False):
     z = lambda: jnp.zeros((n,), dtype)
     zi = lambda: jnp.zeros((n,), jnp.int32)
     zb = lambda: jnp.zeros((n,), bool)
@@ -500,6 +547,9 @@ def empty_pool(n, dtype, fluid_cache=False, detached_events=False):
         dl_shrink=jnp.ones((n,), dtype), sec_w=z(),
         frow=(tuple(z() for _ in range(32)) if fluid_cache else ()),
         cell=jnp.full((nc,), -1, jnp.int32),
+        bx=(z4() if trace_birth else ()),
+        bk=(z4() if trace_birth else ()),
+        bw=jnp.zeros((n if trace_birth else 0,), dtype),
         ev_x=(z4() if detached_events else ()),
         ev_k=(z4() if detached_events else ()),
         ev_w=jnp.zeros((ne,), dtype),
@@ -526,6 +576,9 @@ def init_counters(max_tau_scatt_init, dtype):
         ls_committed=zi(), ls_parked=zi(),
         avg_ema=jnp.zeros((), dtype), ema_scatt_mark=zi(), ema_rec_mark=zi(),
         n_stall=zi(), w_stall=jnp.zeros((), dtype),
+        mt_bx=jnp.zeros((4,), dtype), mt_bk=jnp.zeros((4,), dtype),
+        mt_bw=jnp.zeros((), dtype), mt_nsc0=zi(),
+        n_ev_soft=zi(), n_ev_forced=zi(),
         n_hc_clamp=zi(),
     )
 
@@ -564,7 +617,10 @@ def push_attempt_c(x, k, dkdlam, e_0_s, seg_dl, active, at_floor,
     Module-level so the Pallas fused hot-step kernel and the XLA engine
     closure share the exact same math (harm_model.cpp:1217-1289; iterative
     form super_photon.cu:1826-1929).  ``x``/``k``/``dkdlam``: 4-tuples of
-    (N,) components.  Returns (x, k, dk, e0s, commit).
+    (N,) components.  Returns (x, k, dk, e0s, commit, err_ratio) where
+    ``err_ratio`` = max(err/E_TOL, err_e/E_DRIFT_TOL) — the normalized
+    worst error test (>1 means the attempt failed); the error-proportional
+    step controller (EngineConfig.step_ctrl) feeds on it.
     """
     dl_2 = 0.5 * seg_dl
     k_half = tuple(kk + dd * dl_2 for kk, dd in zip(k, dkdlam))
@@ -603,7 +659,8 @@ def push_attempt_c(x, k, dkdlam, e_0_s, seg_dl, active, at_floor,
     k = tuple(jnp.where(commit, kn, kk) for kn, kk in zip(k_new, k))
     dk = tuple(jnp.where(commit, dn, dd) for dn, dd in zip(dk_new, dkdlam))
     e0s = jnp.where(commit, e_1, e_0_s)
-    return x, k, dk, e0s, commit
+    err_ratio = jnp.maximum(err / consts.E_TOL, err_e / consts.E_DRIFT_TOL)
+    return x, k, dk, e0s, commit, err_ratio
 
 
 def _capture_events(p, arrived, at_event, x, k, w, sec_w, alive,
@@ -653,7 +710,7 @@ def hot_phase_a(x, k, dkdlam, e_0_s, dl_shrink, pend_dl, pend_push, at_event,
                 alive, w, record_pending, u_roul,
                 mc, fp_iters, weight_min, shrink_floor, ref_err_metric=False,
                 grow_cap=1.0, grow_rate=2.0, grow_tau_cap=0.0,
-                alpha_scatti=None, bi=None):
+                alpha_scatti=None, bi=None, step_ctrl=0.0):
     """Pre-gather half of the hot iteration, pure and elementwise.
 
     step_size -> geodesic push attempt -> per-lane shrink control ->
@@ -694,15 +751,34 @@ def hot_phase_a(x, k, dkdlam, e_0_s, dl_shrink, pend_dl, pend_push, at_event,
     at_floor = dl_shrink <= shrink_floor
     act = moving & ~(x[1] < mc.x_start[1])
 
-    xn, kn, dkn, e0sn, commit = push_attempt_c(
+    xn, kn, dkn, e0sn, commit, err_r = push_attempt_c(
         x, k, dkdlam, e_0_s, seg, act, at_floor,
         mc.a, mc.h_slope, mc.r_0, fp_iters, ref_err_metric,
     )
-    dl_shrink_n = jnp.where(
-        act & ~commit,
-        jnp.maximum(dl_shrink * 0.5, shrink_floor),
-        jnp.minimum(dl_shrink * grow_rate, grow_cap),
-    )
+    if step_ctrl > 0.0:
+        # Error-PROPORTIONAL step controller (EngineConfig.step_ctrl —
+        # classic adaptive-ODE control replacing the reference's blind
+        # halve/grow ladder): the next step factor tracks the measured
+        # error toward the tolerance boundary, fac = safety / sqrt(err),
+        # clamped to [0.25, 2].  Two wins over the geometric ladder:
+        # (1) failed attempts nearly vanish (the ladder pays ~15% of
+        # moving slots on rejected pushes probing the boundary);
+        # (2) a fresh photon reaches its equilibrium step in ~2-3 commits
+        # instead of log_1.19(8) ~ 12 — half a typical 26-step photon
+        # lifetime was ramp.  The COMMIT GATE IS UNCHANGED: every accepted
+        # step still passes the same two error tests, so the trajectory
+        # accuracy class is identical; chi2-gated like every deviation.
+        err_eff = jnp.where(jnp.isfinite(err_r), err_r, 1e12)
+        err_eff = jnp.where(act, err_eff, 1e-12)  # idle lanes re-grow
+        fac = jnp.clip(step_ctrl * lax.rsqrt(jnp.maximum(err_eff, 1e-12)),
+                       0.25, 2.0)
+        dl_shrink_n = jnp.clip(dl_shrink * fac, shrink_floor, grow_cap)
+    else:
+        dl_shrink_n = jnp.where(
+            act & ~commit,
+            jnp.maximum(dl_shrink * 0.5, shrink_floor),
+            jnp.minimum(dl_shrink * grow_rate, grow_cap),
+        )
 
     was_pend = pend_push
     pend_rem = jnp.where(pend_push & commit, pend_dl - seg, pend_dl)
@@ -1218,7 +1294,7 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
         Returns (x, k, dk, e0s, commit, flc).
         """
         if not cfg.interp_geom:
-            x, k, dk, e0s, commit = push_attempt_c(
+            x, k, dk, e0s, commit, _err = push_attempt_c(
                 x, k, dkdlam, e_0_s, seg_dl, active, at_floor,
                 a, hs, r0, cfg.fp_iters, cfg.ref_err_metric,
             )
@@ -1400,7 +1476,7 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
                 q.w, q.record_pending, u_roul,
                 mc, cfg.fp_iters, weight_min, SHRINK_FLOOR, cfg.ref_err_metric,
                 cfg.grow_cap, cfg.grow_rate, cfg.grow_tau_cap,
-                q.alpha_scatti, q.bi,
+                q.alpha_scatti, q.bi, cfg.step_ctrl,
             )
         if cfg.col_gather:
             # Transposed-table gather: (32, N) with lanes along the pool
@@ -1780,11 +1856,32 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
                 # the split lets the accuracy harness gate the thick-regime
                 # count shape quantitatively (VERDICT r3 #5).
                 (nsc0_g > 0).astype(dt),
+                # ch 15: summed birth generation (kappa^g model, VERDICT
+                # r4 #5); 0 for primaries by construction.
+                nsc0_g.astype(dt),
             ],
             axis=-1,
         )
         vals = jnp.where(ok[:, None], vals, 0.0)
         spec = spec.at[idx].add(vals)
+
+        if cfg.trace_birth:
+            # Deep-tau trace: when this batch advances the max_tau ratchet,
+            # capture the advancing photon's BIRTH state (compared against
+            # the PRE-update ratchet, mirroring the update just below).
+            bcols = take_cols(gi, [*p.bx, *p.bk, p.bw])
+            tvals = jnp.where(valid, tsc_g, -1.0)
+            am = jnp.argmax(tvals)
+            better = tvals[am] > counters.max_tau_scatt
+            sel = lambda new, cur: jnp.where(better, new, cur)
+            counters = counters._replace(
+                mt_bx=sel(jnp.stack([bcols[i][am] for i in range(4)]),
+                          counters.mt_bx),
+                mt_bk=sel(jnp.stack([bcols[4 + i][am] for i in range(4)]),
+                          counters.mt_bk),
+                mt_bw=sel(bcols[8][am], counters.mt_bw),
+                mt_nsc0=sel(nsc0_g[am].astype(jnp.int64), counters.mt_nsc0),
+            )
 
         counters = counters._replace(
             n_recorded=counters.n_recorded + jnp.sum(ok).astype(jnp.int64),
@@ -2071,7 +2168,13 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
             count=sec.count + jnp.sum(put).astype(jnp.int32),
         )
         counters = counters._replace(
-            n_sec_drop=counters.n_sec_drop + dropped.astype(jnp.int64)
+            n_sec_drop=counters.n_sec_drop + dropped.astype(jnp.int64),
+            # Anti-stall census: consumed events whose draw came from a
+            # HALVED theta_e (>= ev_halve defers) or was force-accepted.
+            n_ev_soft=counters.n_ev_soft + jnp.sum(
+                valid & (tries_g >= cfg.ev_halve)).astype(jnp.int64),
+            n_ev_forced=counters.n_ev_forced + jnp.sum(
+                valid & force_g).astype(jnp.int64),
         )
         return p, sec, counters
 
@@ -2231,6 +2334,23 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
             alpha_scatti=news[4], alpha_absi=news[5], bi=news[6],
             interacting=news[7],
         )
+        if cfg.trace_birth:
+            # Birth-state capture for the deep-tau replay harness: the
+            # freshly-loaded lanes' (x, k, w) ARE their birth state.
+            bcur = take_cols(gi, [*p.bx, *p.bk, p.bw])
+            bnews = put_cols(sidx, [
+                (p.bx[0], keep(xg[0], bcur[0])),
+                (p.bx[1], keep(xg[1], bcur[1])),
+                (p.bx[2], keep(xg[2], bcur[2])),
+                (p.bx[3], keep(xg[3], bcur[3])),
+                (p.bk[0], keep(kg[0], bcur[4])),
+                (p.bk[1], keep(kg[1], bcur[5])),
+                (p.bk[2], keep(kg[2], bcur[6])),
+                (p.bk[3], keep(kg[3], bcur[7])),
+                (p.bw, keep(wg, bcur[8])),
+            ])
+            p = p._replace(bx=tuple(bnews[0:4]), bk=tuple(bnews[4:8]),
+                           bw=bnews[8])
         if cfg.fluid_cache:
             # Prime the corner-row cache so fresh lanes never hit the
             # hot-step refresh with a stale/garbage row.
@@ -2431,7 +2551,8 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
     def fresh_state(key):
         return State(
             pool=empty_pool(cfg.n_pool, dt, fluid_cache=cfg.fluid_cache,
-                            detached_events=cfg.detached_events),
+                            detached_events=cfg.detached_events,
+                            trace_birth=cfg.trace_birth),
             spec=jnp.zeros((N_BINS + 1, N_SPEC_CHAN), dt),
             counters=init_counters(mc.max_tau_scatt0, dt),
             sec=empty_secbuf(cfg.sec_cap, dt),

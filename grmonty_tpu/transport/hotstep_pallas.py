@@ -117,6 +117,7 @@ def make_pallas_hot_phases(mc, cfg, hc_coeffs, k2_coeffs, weight_min,
                 x, k, dk, e0s, shr, pdl, pp, ae, al, w, rp, u,
                 mc, cfg.fp_iters, weight_min, shrink_floor,
                 cfg.ref_err_metric, cfg.grow_cap, cfg.grow_rate,
+                step_ctrl=cfg.step_ctrl,
             )
         vals = (
             list(A["x"]) + list(A["k"]) + list(A["dkdlam"])

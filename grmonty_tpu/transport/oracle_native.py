@@ -40,7 +40,7 @@ _lib = None
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO_ROOT, "native", "oracle.cpp")
 
-N_SPEC_CHAN = 15
+N_SPEC_CHAN = 16
 PROBE_LEN = 128
 
 

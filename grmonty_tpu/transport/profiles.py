@@ -69,6 +69,9 @@ def bench_config(pool=65536, dtype=None, ref_mode=False, env=None,
         # records (EngineConfig.bias_ema).
         bias_ema=float(knob("BENCH_BIAS_EMA", "0.25", "0")),
         grow_rate=float(knob("BENCH_GROW_RATE", "1.1892", "2.0")),
+        # Error-proportional step controller (EngineConfig.step_ctrl):
+        # 0 = legacy halve/grow ladder; reference semantics is always 0.
+        step_ctrl=float(knob("BENCH_STEP_CTRL", "0", "0")),
         detached_events=knob("BENCH_DETACH", "1", "0") == "1",
         # Hot-step interaction physics reads the DERIVED fluid corner table
         # (no per-step metric pair / four-vector reconstruction).

@@ -46,7 +46,8 @@ const double X1_MAX = std::log(100.0);
 
 constexpr int N_TH_BINS = 6;
 constexpr int N_E_BINS = 200;
-constexpr int N_SPEC_CHAN = 15;  // 13 reference channels + sum((w*e)^2)
+constexpr int N_SPEC_CHAN = 16;  // 13 reference channels + sum((w*e)^2)
+                                 // + secondary count + summed birth generation
                                  // + recorded-secondary count (ch 14)
 constexpr double SPEC_D_L_E = 0.25;
 const double SPEC_L_E_0 = std::log(1.0e-12);
@@ -93,6 +94,7 @@ struct Photon {
   double w, e, l, x1i, x2i, tau_abs, tau_scatt;
   double n_e_0, theta_e_0, b_0, e_0, e_0_s;
   int n_scatt;
+  int nsc0 = 0;  // birth generation (0 = primary; spectrum channel 15)
   bool is_sec = false;  // born at a scatter event (spectrum channel 14)
 };
 
@@ -852,6 +854,7 @@ struct Tracker {
     row[12] += w * ph.e_0;
     row[13] += w * ph.e * w * ph.e;  // MC variance of the energy channel
     row[14] += ph.is_sec ? 1.0 : 0.0;  // secondary-origin count
+    row[15] += ph.nsc0;  // summed birth generation (kappa^g model)
   }
 
   // track_super_photon (CPUTracker.track; harm_model.cpp:894-1069).
@@ -938,6 +941,7 @@ struct Tracker {
               sec.n_e_0 = ph.n_e_0;
               sec.theta_e_0 = ph.theta_e_0;
               sec.is_sec = true;
+              sec.nsc0 = sec.n_scatt;
               track(sec, depth + 1);
             }
           }

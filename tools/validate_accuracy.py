@@ -114,6 +114,12 @@ def main():
             cfg = cfg._replace(ev_halve=int(os.environ["GRMONTY_EV_HALVE"]))
         if os.environ.get("GRMONTY_EV_FORCE"):
             cfg = cfg._replace(ev_force=int(os.environ["GRMONTY_EV_FORCE"]))
+        if os.environ.get("GRMONTY_STEP_CTRL"):
+            cfg = cfg._replace(
+                step_ctrl=float(os.environ["GRMONTY_STEP_CTRL"]))
+        if os.environ.get("GRMONTY_GROW_CAP"):
+            cfg = cfg._replace(
+                grow_cap=float(os.environ["GRMONTY_GROW_CAP"]))
         bk = profiles.bench_sim_kwargs(1024, env={})
         sim_kw = dict(tail_grow_cap=bk["tail_grow_cap"],
                       tail_stall_steps=bk["tail_stall_steps"])
@@ -321,6 +327,38 @@ def main():
             "chi2_sec_shape_per_dof": chi2_s / max(dof_s, 1),
             "dof_sec": dof_s,
         }
+        # --- per-GENERATION kappa^g count model (VERDICT r4 #5) ----------
+        # Under a bias-equilibrium offset kappa, generation-g secondaries
+        # scale as kappa^g (each cascade level multiplies by the bias),
+        # so the single global kappa flattens only gbar=1 bands.  Channel
+        # 15 sums the birth generation: gbar(band) = ch15/ch14, and the
+        # model N_e(b) = N_o(b) * kappa^gbar_o(b) is fit by weighted LSQ
+        # in log space, then HARD-GATED at chi2/dof < 5 (assert below).
+        if se.shape[2] > 15 and so.shape[2] > 15:
+            g_e = se[:, :, 15].sum(0)[: ne_g * g].reshape(ne_g, g).sum(1)
+            g_o = so[:, :, 15].sum(0)[: ne_g * g].reshape(ne_g, g).sum(1)
+            gbar = g_o / np.maximum(s_o, 1.0)
+            use_g = use_s & (s_e > 0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                log_r = np.log(np.maximum(s_e, 1e-300)
+                               / np.maximum(s_o, 1e-300))
+            w_b = 1.0 / (1.0 / np.maximum(s_e, 1.0)
+                         + 1.0 / np.maximum(s_o, 1.0))
+            num = float((w_b * gbar * log_r)[use_g].sum())
+            den = float((w_b * gbar * gbar)[use_g].sum())
+            kappa_g = math.exp(num / max(den, 1e-300))
+            pred = s_o * np.power(kappa_g, gbar)
+            var_g = np.maximum(
+                s_e + np.power(kappa_g, gbar) ** 2 * s_o, 1.0)
+            chi2_gen = float((((s_e - pred) ** 2)[use_g]
+                              / var_g[use_g]).sum())
+            dof_gen = max(int(use_g.sum()) - 1, 1)
+            decomp.update({
+                "kappa_gen_fit": kappa_g,
+                "gbar_oracle": [float(x) for x in gbar[use_g]],
+                "chi2_sec_gen_per_dof": chi2_gen / dof_gen,
+                "dof_sec_gen": dof_gen,
+            })
 
     groups = [
         {"g": int(i), "lum_ratio": float(e_e[i] / e_o[i]) if e_o[i] else None,
@@ -361,6 +399,10 @@ def main():
         # but the reference integrates numerically (hotcross.cpp:81-106).
         # HARD GATE (asserted below): the clamp path must be unreachable.
         "n_hc_clamp_engine": int(state.counters.n_hc_clamp),
+        # Anti-stall census: consumed events with halved-theta_e (soft) or
+        # forced draws — should be ~0 with the shipped patient settings.
+        "n_ev_soft_engine": int(state.counters.n_ev_soft),
+        "n_ev_forced_engine": int(state.counters.n_ev_forced),
         "groups": groups,
         "mass_unit": args.mass_unit,
         "oracle": args.oracle,
@@ -382,6 +424,12 @@ def main():
     if args.json:
         with open(args.json, "w") as f:
             json.dump(out, f, indent=2)
+    if decomp and "chi2_sec_gen_per_dof" in decomp:
+        assert decomp["chi2_sec_gen_per_dof"] < 5.0, (
+            f"secondary count shape fails the per-generation kappa^g model: "
+            f"chi2/dof {decomp['chi2_sec_gen_per_dof']:.1f} >= 5 "
+            f"(kappa_gen {decomp['kappa_gen_fit']:.3f}) — not explained by "
+            "the bias-equilibrium population offset")
     assert out["n_hc_clamp_engine"] == 0, (
         f"hotcross clamp path reached {out['n_hc_clamp_engine']} times — "
         "the device sigma deviates from the reference's numeric fallback "

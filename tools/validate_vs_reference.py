@@ -72,6 +72,12 @@ def main():
     ap.add_argument("--bench-profile", action="store_true",
                     help="engine runs the shipped bench profile (f32 + all "
                     "deviation knobs) instead of reference semantics")
+    ap.add_argument("--ev-halve", type=int, default=None,
+                    help="override EngineConfig.ev_halve (anti-stall "
+                    "theta_e halving cadence) for the engine run")
+    ap.add_argument("--ev-force", type=int, default=None,
+                    help="override EngineConfig.ev_force (forced-accept "
+                    "defer count) for the engine run")
     ap.add_argument("--ref-spec", default=None,
                     help="reuse a previously-written reference spectrum "
                     "file instead of re-running the reference binary")
@@ -134,6 +140,10 @@ def main():
         cfg = engine.EngineConfig(n_pool=1024, m_period=8, sec_cap=16384,
                                   max_outer=200000, stall_steps=100000)
         sim_kw = {}
+    if args.ev_halve is not None:
+        cfg = cfg._replace(ev_halve=args.ev_halve)
+    if args.ev_force is not None:
+        cfg = cfg._replace(ev_force=args.ev_force)
     sim = driver.Simulation(dump, photon_n=args.photons,
                             mass_unit=args.mass_unit, config=cfg,
                             emit_chunk=4096, warmup=256, **sim_kw)
@@ -180,6 +190,13 @@ def main():
         "n_secondary_dropped": stats_e.get("n_secondary_dropped", 0),
         "n_stall_engine": stats_e.get("n_stall_killed", 0),
         "w_stall_frac_engine": stats_e.get("w_stall_frac", 0.0),
+        # Anti-stall census: events consumed with a halved-theta_e
+        # (softened) or force-accepted draw — the suspects for any top-band
+        # deficit (the reference only halves after 1e7 tries).
+        "n_ev_soft_engine": stats_e.get("n_ev_soft", 0),
+        "n_ev_forced_engine": stats_e.get("n_ev_forced", 0),
+        "ev_halve": cfg.ev_halve,
+        "ev_force": cfg.ev_force,
     }
     if stats_o is not None:
         _, per_o = parse_spectrum_text(orc_spec_path)
