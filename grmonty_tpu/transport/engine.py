@@ -159,6 +159,12 @@ class EngineConfig(typing.NamedTuple):
     #   ~12 commits to regrow to grow_cap=8 (half a typical photon
     #   lifetime); the controller removes both.  Shared XLA hot path and
     #   the fused Pallas kernels (rsqrt is a Mosaic primitive).
+    #   MEASURED (full bench, v5e, r5): safety is a real knob — 0.9 rides
+    #   the boundary and REGRESSES (committed 0.706, 28.3 steps/photon,
+    #   786k ph/s vs the ladder's 857k); 0.6 keeps a margin (equilibrium
+    #   err ~ 0.36 tol) and wins: committed 0.828, 21.7 steps/photon,
+    #   952k ph/s (+11%); 0.7 over-grows into a different (heavier)
+    #   scattering equilibrium.  Ship 0.6 after chi2 gating.
     grow_rate: float = 2.0  # per-commit multiplier of the per-lane step
     #   factor dl_shrink (the halving side stays x0.5, matching the
     #   reference's bisection).  2.0 = symmetric double/halve, which at the
