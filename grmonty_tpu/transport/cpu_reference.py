@@ -103,10 +103,13 @@ class CPUTracker:
     # ------------------------------------------------------------------
     def bias(self, theta_e, w):
         cap = 0.5 * w / consts.WEIGHT_MIN
-        avg = self.n_scatt_rec / (self.n_recorded + 1.0)
-        b = 100.0 * theta_e**2 / (
-            self.mc.bias_norm * self.max_tau_scatt * (avg + 2.0)
-        )
+        if getattr(self, "bias_fixed", None):
+            # frozen-bias comparison mode (see EngineConfig.bias_fixed_tau)
+            denom = self.bias_fixed[0] * (self.bias_fixed[1] + 2.0)
+        else:
+            avg = self.n_scatt_rec / (self.n_recorded + 1.0)
+            denom = self.max_tau_scatt * (avg + 2.0)
+        b = 100.0 * theta_e**2 / (self.mc.bias_norm * denom)
         b = max(b, consts.TP_OVER_TE)
         b = min(b, cap)
         return b / consts.TP_OVER_TE

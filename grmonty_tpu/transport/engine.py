@@ -136,6 +136,17 @@ class EngineConfig(typing.NamedTuple):
     #   events per phase exceed n_pool/8 and the pool starves at ~50%
     #   occupancy with ~20% of occupied lanes parked at_event — raise
     #   ev_k (or lower m_period) so ev_k >= deaths_per_iter * m_period.
+    bias_fixed_tau: float = 0.0  # frozen-bias comparison mode (with
+    #   bias_fixed_avg): when > 0 the scattering-bias normalization reads
+    #   these CONSTANTS instead of the live feedback counters
+    #   (harm_model.cpp:1391-1404).  The live ratchet (max_tau_scatt) is
+    #   an unstable extreme-value statistic — measured at M4e19/20k the
+    #   ORACLE jumped to 2.38 while the engine sat at 0.15, making count-
+    #   level comparisons meaningless; pinning the bias (a pure variance-
+    #   reduction parameter — the estimator is unbiased in it) lets the
+    #   accuracy harness hard-gate secondary populations per band.
+    #   Validation-only; production runs use the live feedback.
+    bias_fixed_avg: float = 2.0
     trace_birth: bool = False  # diagnostic: carry each lane's BIRTH state
     #   (x, k, w at load — Pool.bx/bk/bw) and capture, at record time, the
     #   birth state of the photon holding the max_tau_scatt ratchet
@@ -1222,15 +1233,21 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
             counters.n_recorded.astype(dt) + 1.0
         )
 
+    def _bias_denom(counters):
+        """max_tau * (avg_scatt + 2), or the frozen constants
+        (EngineConfig.bias_fixed_tau — validation comparison mode)."""
+        if cfg.bias_fixed_tau > 0.0:
+            return cfg.bias_fixed_tau * (cfg.bias_fixed_avg + 2.0)
+        return counters.max_tau_scatt * (_avg_scatt(counters) + 2.0)
+
     def bias_func(theta_e, w, counters):
         """Scattering bias (harm_model.cpp:1391-1404) from loop-carried counters."""
         cap = 0.5 * w / weight_min
-        avg_scatt = _avg_scatt(counters)
         bias = (
             100.0
             * theta_e
             * theta_e
-            / (mc.bias_norm * counters.max_tau_scatt * (avg_scatt + 2.0))
+            / (mc.bias_norm * _bias_denom(counters))
         )
         # Clamp order verified against harm_model.cpp:1396-1401: the
         # reference floors to tp_over_te first, then caps to 0.5*w/w_min,
@@ -1424,8 +1441,8 @@ def make_engine(mc: fluid.ModelConsts, tables: Tables, prims, cfg: EngineConfig,
     _shared_hot = not cfg.interp_geom and not cfg.fluid_cache and not dbg
 
     def _bias_scale(counters):
-        return 100.0 / (
-            mc.bias_norm * counters.max_tau_scatt * (_avg_scatt(counters) + 2.0))
+        # jnp-wrap: in frozen-bias mode the denominator is a Python float
+        return jnp.asarray(100.0 / (mc.bias_norm * _bias_denom(counters)))
 
     # For the f32 engine, trace the shared phases with x64 disabled so
     # python-float literals bind as f32 — exactly how the Pallas kernels

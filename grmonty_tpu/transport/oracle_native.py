@@ -61,6 +61,9 @@ class _Consts(ctypes.Structure):
         ("bias_norm", ctypes.c_double),
         ("d_tau_k", ctypes.c_double),
         ("max_tau_scatt0", ctypes.c_double),
+        # frozen-bias comparison mode (0 = live feedback counters)
+        ("bias_fixed_tau", ctypes.c_double),
+        ("bias_fixed_avg", ctypes.c_double),
     ]
 
 
@@ -160,10 +163,16 @@ def _ptr(a):
 class NativeTracker:
     """Drop-in native counterpart of cpu_reference.CPUTracker."""
 
-    def __init__(self, mc, tables, prims, seed=consts.RNG_SEED):
+    def __init__(self, mc, tables, prims, seed=consts.RNG_SEED,
+                 bias_fixed=None):
         self._lib = _load()
         self.mc = mc
         self._c = _c_consts(mc)
+        if bias_fixed is not None:
+            # (tau, avg): pin the bias normalization for the frozen-bias
+            # comparison mode (see Consts.bias_fixed_tau in oracle.cpp)
+            self._c.bias_fixed_tau = float(bias_fixed[0])
+            self._c.bias_fixed_avg = float(bias_fixed[1])
         self._hc = _f64(tables.hotcross)
         assert self._hc.shape == (221, 81), self._hc.shape
         self._k2 = _f64(tables.k2_table)

@@ -82,6 +82,13 @@ struct Consts {
   int64_t n1, n2;
   double n_e_unit, theta_e_unit, b_unit;
   double x1_min, bias_norm, d_tau_k, max_tau_scatt0;
+  // Frozen-bias comparison mode (validate_accuracy --freeze-bias): when
+  // bias_fixed_tau > 0 the bias normalization reads these constants
+  // instead of the live feedback counters, pinning the variance-reduction
+  // parameter so engine/oracle secondary POPULATIONS are directly
+  // comparable (the live ratchet is an unstable extreme-value statistic
+  // whose trajectory diverges between any two trackers).
+  double bias_fixed_tau, bias_fixed_avg;
 };
 
 struct FluidState {
@@ -538,8 +545,10 @@ struct Tracker {
   double bias(double theta_e, double w) const {
     double cap = 0.5 * w / WEIGHT_MIN;
     double avg = (double)n_scatt_rec / ((double)n_recorded + 1.0);
-    double b = 100.0 * theta_e * theta_e
-             / (C.bias_norm * max_tau_scatt * (avg + 2.0));
+    double denom = (C.bias_fixed_tau > 0.0)
+        ? C.bias_fixed_tau * (C.bias_fixed_avg + 2.0)
+        : max_tau_scatt * (avg + 2.0);
+    double b = 100.0 * theta_e * theta_e / (C.bias_norm * denom);
     b = std::fmax(b, TP_OVER_TE);
     b = std::fmin(b, cap);
     return b / TP_OVER_TE;

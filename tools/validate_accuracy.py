@@ -76,6 +76,16 @@ def main():
                     "parity-tested in tests/test_oracle_native.py) or "
                     "'python' (the original transcription, ~hours at 2000 "
                     "photons)")
+    ap.add_argument("--freeze-bias", type=float, default=0.0,
+                    help="pin BOTH trackers' bias normalization to this "
+                    "max_tau value (with --freeze-avg): the live ratchet "
+                    "is an unstable extreme-value statistic whose "
+                    "trajectory diverges between trackers (measured: "
+                    "oracle 2.38 vs engine 0.15 at M4e19/20k), making "
+                    "count-level gates meaningless; the bias is a pure "
+                    "variance-reduction knob, so pinning it makes "
+                    "secondary populations directly comparable")
+    ap.add_argument("--freeze-avg", type=float, default=2.6)
     ap.add_argument("--save-spec", default=None,
                     help="also dump both raw spectra (engine + oracle, "
                     "(6,200,13) each) to this .npz for band-level diagnosis")
@@ -135,6 +145,9 @@ def main():
             dtype=jnp.float32 if args.dtype == "float32" else jnp.float64,
         )
         cfg = cfg._replace(stall_steps=args.stall_steps)
+    if args.freeze_bias > 0.0:
+        cfg = cfg._replace(bias_fixed_tau=args.freeze_bias,
+                           bias_fixed_avg=args.freeze_avg)
     sim = driver.Simulation(dump, photon_n=args.photon_n,
                             mass_unit=args.mass_unit, config=cfg,
                             emit_chunk=4096, seed=args.seed, warmup=256,
@@ -220,14 +233,17 @@ def main():
         # engine's f32 batch dtype once the 1e-25 scale is removed.
         backlog = backlog._replace(
             w=np.asarray(backlog.w, np.float64) / sim.cfg.weight_scale)
+        bf = ((args.freeze_bias, args.freeze_avg)
+              if args.freeze_bias > 0.0 else None)
         if args.oracle == "native":
             from grmonty_tpu.transport.oracle_native import NativeTracker
 
             tr = NativeTracker(sim.mc, sim.tables, np.asarray(sim.prims),
-                               seed=args.seed + 1)
+                               seed=args.seed + 1, bias_fixed=bf)
         else:
             tr = cpu_reference.CPUTracker(sim.mc, sim.tables, sim.prims,
                                           seed=args.seed + 1)
+            tr.bias_fixed = bf
         t0 = time.time()
         tr.run(backlog, limit=n_orc)
         t_orc = time.time() - t0
@@ -353,9 +369,13 @@ def main():
             chi2_gen = float((((s_e - pred) ** 2)[use_g]
                               / var_g[use_g]).sum())
             dof_gen = max(int(use_g.sum()) - 1, 1)
+            gbar_e = g_e / np.maximum(s_e, 1.0)
             decomp.update({
                 "kappa_gen_fit": kappa_g,
                 "gbar_oracle": [float(x) for x in gbar[use_g]],
+                "gbar_engine": [float(x) for x in gbar_e[use_g]],
+                "sec_counts_engine": [int(x) for x in s_e[use_g]],
+                "sec_counts_oracle": [int(x) for x in s_o[use_g]],
                 "chi2_sec_gen_per_dof": chi2_gen / dof_gen,
                 "dof_sec_gen": dof_gen,
             })
@@ -406,6 +426,8 @@ def main():
         "groups": groups,
         "mass_unit": args.mass_unit,
         "oracle": args.oracle,
+        "freeze_bias": ([args.freeze_bias, args.freeze_avg]
+                        if args.freeze_bias > 0.0 else None),
         "engine_config": {
             "dtype": str(np.dtype(cfg.dtype)),
             "grow_cap": cfg.grow_cap, "grow_rate": cfg.grow_rate,
