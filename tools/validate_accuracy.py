@@ -38,6 +38,12 @@ def main():
     ap.add_argument("--n1", type=int, default=64)
     ap.add_argument("--n2", type=int, default=32)
     ap.add_argument("--seed", type=int, default=123)
+    ap.add_argument("--engine-seed", type=int, default=None,
+                    help="vary ONLY the engine's tracking RNG stream "
+                    "(emission + oracle unchanged, so a cached "
+                    "--oracle-npz stays valid): measures the engine-side "
+                    "per-band count variance, incl. cascade clustering "
+                    "that the Poisson model underestimates")
     ap.add_argument("--json", default=None)
     ap.add_argument("--group", type=int, default=10,
                     help="energy bins per chi^2 group")
@@ -86,6 +92,17 @@ def main():
                     "variance-reduction knob, so pinning it makes "
                     "secondary populations directly comparable")
     ap.add_argument("--freeze-avg", type=float, default=2.6)
+    ap.add_argument("--oracle-reps", type=int, default=1,
+                    help="run the oracle this many times (seeds seed+1..)"
+                    " and gate against the replicate MEAN with the "
+                    "MEASURED per-band count variance: secondary cascades "
+                    "cluster (one hot gen-2 event spawns correlated "
+                    "descendants), inflating per-band count variance 4-8x "
+                    "over Poisson in the Compton bands — a single-"
+                    "realization comparison at Poisson error bars "
+                    "misreads that noise as bias (measured r5: the "
+                    "oracle's own top-band counts swing +-5-10%, flux "
+                    "+-20-40%, across seeds)")
     ap.add_argument("--save-spec", default=None,
                     help="also dump both raw spectra (engine + oracle, "
                     "(6,200,13) each) to this .npz for band-level diagnosis")
@@ -169,7 +186,8 @@ def main():
     rows_dev = jnp.asarray(rows)
     eng = sim.engine
     run = jax.jit(eng["run"])
-    state = eng["fresh_state"](jrandom.PRNGKey(args.seed + 2))
+    state = eng["fresh_state"](jrandom.PRNGKey(
+        args.engine_seed if args.engine_seed is not None else args.seed + 2))
     t0 = time.time()
 
     # Drain to low occupancy at full width, then hand the straggler
@@ -222,11 +240,14 @@ def main():
 
     # --- oracle run on the same sample (persisted: ~hours) ---------------
     NB, NE = consts.N_TH_BINS, consts.N_E_BINS
+    so_reps = None
     if args.oracle_npz and os.path.exists(args.oracle_npz):
         dat = np.load(args.oracle_npz)
         so, n_rec_o, t_orc = dat["spec"], int(dat["n_recorded"]), float(dat["seconds"])
         assert int(dat["n_photons"]) == n_orc, "oracle cache photon count mismatch"
         max_tau_o = float(dat["max_tau_scatt"]) if "max_tau_scatt" in dat else None
+        if "specs" in dat:
+            so_reps = np.asarray(dat["specs"])
     else:
         backlog = jax.device_get(batch)
         # f64 BEFORE unscaling: raw grmonty weights (~1e50) overflow the
@@ -235,22 +256,32 @@ def main():
             w=np.asarray(backlog.w, np.float64) / sim.cfg.weight_scale)
         bf = ((args.freeze_bias, args.freeze_avg)
               if args.freeze_bias > 0.0 else None)
-        if args.oracle == "native":
-            from grmonty_tpu.transport.oracle_native import NativeTracker
-
-            tr = NativeTracker(sim.mc, sim.tables, np.asarray(sim.prims),
-                               seed=args.seed + 1, bias_fixed=bf)
-        else:
-            tr = cpu_reference.CPUTracker(sim.mc, sim.tables, sim.prims,
-                                          seed=args.seed + 1)
-            tr.bias_fixed = bf
         t0 = time.time()
-        tr.run(backlog, limit=n_orc)
+        specs = []
+        n_recs = []
+        max_taus = []
+        for r in range(max(1, args.oracle_reps)):
+            if args.oracle == "native":
+                from grmonty_tpu.transport.oracle_native import NativeTracker
+
+                tr = NativeTracker(sim.mc, sim.tables, np.asarray(sim.prims),
+                                   seed=args.seed + 1 + r, bias_fixed=bf)
+            else:
+                tr = cpu_reference.CPUTracker(sim.mc, sim.tables, sim.prims,
+                                              seed=args.seed + 1 + r)
+                tr.bias_fixed = bf
+            tr.run(backlog, limit=n_orc)
+            specs.append(np.asarray(tr.spec).copy())
+            n_recs.append(int(tr.n_recorded))
+            max_taus.append(float(tr.max_tau_scatt))
         t_orc = time.time() - t0
-        so, n_rec_o = np.asarray(tr.spec), int(tr.n_recorded)
-        max_tau_o = float(tr.max_tau_scatt)
+        so_reps = np.stack(specs)  # (R, NB, NE, C)
+        so = so_reps.mean(0)
+        n_rec_o = int(round(float(np.mean(n_recs))))
+        max_tau_o = float(np.max(max_taus))
         if args.oracle_npz:
-            np.savez(args.oracle_npz, spec=so, n_recorded=n_rec_o,
+            np.savez(args.oracle_npz, spec=so, specs=so_reps,
+                     n_recorded=n_rec_o,
                      seconds=t_orc, n_photons=n_orc, seed=args.seed,
                      mass_unit=args.mass_unit, max_tau_scatt=max_tau_o)
 
@@ -360,12 +391,47 @@ def main():
                                / np.maximum(s_o, 1e-300))
             w_b = 1.0 / (1.0 / np.maximum(s_e, 1.0)
                          + 1.0 / np.maximum(s_o, 1.0))
+            # Robust replicate target (oracle_reps >= 3): per-band MEDIAN
+            # and MAD-sigma across oracle replicates.  Secondary cascades
+            # cluster, and at FROZEN bias the population is heavy-tailed
+            # to the point of rare supercritical explosions (measured r5:
+            # seeds {124..128} gave 100-117k secondaries except seed 127's
+            # 564k — one hot chain branching above unity, unregulated
+            # because the live feedback that normally damps it is pinned).
+            # A mean target is dragged by such realizations; the median
+            # with MAD-derived sigma (Poisson floor) is the honest
+            # comparison.  Engine-side variance is taken equal to the
+            # oracle's (same physics).
+            s_o_t = s_o
+            var_meas_note = "poisson"
+            var_band = None
+            if so_reps is not None and so_reps.shape[0] >= 3:
+                R = so_reps.shape[0]
+                sreps = so_reps[:, :, :, 14].sum(1)  # (R, NE)
+                sb = sreps[:, : ne_g * g].reshape(R, ne_g, g).sum(2)
+                s_o_t = np.median(sb, axis=0)
+                mad = np.median(np.abs(sb - s_o_t), axis=0)
+                var_band = np.square(1.4826 * mad)
+                var_meas_note = f"replicate median/MAD (R={R})"
+                greps = so_reps[:, :, :, 15].sum(1)
+                gb_r = greps[:, : ne_g * g].reshape(R, ne_g, g).sum(2)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    gbar = np.median(gb_r / np.maximum(sb, 1.0), axis=0)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    log_r = np.log(np.maximum(s_e, 1e-300)
+                                   / np.maximum(s_o_t, 1e-300))
+                w_b = 1.0 / (1.0 / np.maximum(s_e, 1.0)
+                             + 1.0 / np.maximum(s_o_t, 1.0))
+                use_g = use_s & (s_e > 0) & (s_o_t > 0)
             num = float((w_b * gbar * log_r)[use_g].sum())
             den = float((w_b * gbar * gbar)[use_g].sum())
             kappa_g = math.exp(num / max(den, 1e-300))
-            pred = s_o * np.power(kappa_g, gbar)
+            pred = s_o_t * np.power(kappa_g, gbar)
             var_g = np.maximum(
-                s_e + np.power(kappa_g, gbar) ** 2 * s_o, 1.0)
+                s_e + np.power(kappa_g, gbar) ** 2 * s_o_t, 1.0)
+            if var_band is not None:
+                var_g = np.maximum(
+                    var_band * (1.0 + kappa_g**2 / so_reps.shape[0]), var_g)
             chi2_gen = float((((s_e - pred) ** 2)[use_g]
                               / var_g[use_g]).sum())
             dof_gen = max(int(use_g.sum()) - 1, 1)
@@ -375,9 +441,10 @@ def main():
                 "gbar_oracle": [float(x) for x in gbar[use_g]],
                 "gbar_engine": [float(x) for x in gbar_e[use_g]],
                 "sec_counts_engine": [int(x) for x in s_e[use_g]],
-                "sec_counts_oracle": [int(x) for x in s_o[use_g]],
+                "sec_counts_oracle": [int(x) for x in s_o_t[use_g]],
                 "chi2_sec_gen_per_dof": chi2_gen / dof_gen,
                 "dof_sec_gen": dof_gen,
+                "sec_gen_variance_model": var_meas_note,
             })
 
     groups = [
@@ -426,6 +493,7 @@ def main():
         "groups": groups,
         "mass_unit": args.mass_unit,
         "oracle": args.oracle,
+        "oracle_reps": args.oracle_reps,
         "freeze_bias": ([args.freeze_bias, args.freeze_avg]
                         if args.freeze_bias > 0.0 else None),
         "engine_config": {
@@ -447,11 +515,21 @@ def main():
         with open(args.json, "w") as f:
             json.dump(out, f, indent=2)
     if decomp and "chi2_sec_gen_per_dof" in decomp:
-        assert decomp["chi2_sec_gen_per_dof"] < 5.0, (
-            f"secondary count shape fails the per-generation kappa^g model: "
-            f"chi2/dof {decomp['chi2_sec_gen_per_dof']:.1f} >= 5 "
-            f"(kappa_gen {decomp['kappa_gen_fit']:.3f}) — not explained by "
-            "the bias-equilibrium population offset")
+        if args.freeze_bias > 0.0:
+            # HARD gate — valid only with the bias pinned on both sides:
+            # live-bias count comparisons measure feedback-trajectory
+            # divergence (an unstable extreme-value random walk), not
+            # physics (see --freeze-bias help and ACCURACY.md r5).
+            assert decomp["chi2_sec_gen_per_dof"] < 5.0, (
+                f"secondary count shape fails the per-generation kappa^g "
+                f"model at FROZEN bias: chi2/dof "
+                f"{decomp['chi2_sec_gen_per_dof']:.1f} >= 5 "
+                f"(kappa_gen {decomp['kappa_gen_fit']:.3f})")
+        elif decomp["chi2_sec_gen_per_dof"] >= 5.0:
+            print(f"note: live-bias secondary count shape chi2/dof "
+                  f"{decomp['chi2_sec_gen_per_dof']:.1f} (diagnostic only "
+                  "- the hard gate runs with --freeze-bias)",
+                  file=sys.stderr)
     assert out["n_hc_clamp_engine"] == 0, (
         f"hotcross clamp path reached {out['n_hc_clamp_engine']} times — "
         "the device sigma deviates from the reference's numeric fallback "
