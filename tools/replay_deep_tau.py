@@ -163,8 +163,26 @@ def main():
         out["engine_max_tau_nominal_steps"] = float(c1.max_tau_scatt)
         out["engine_nominal_s"] = round(t1, 1)
 
-    verdict = ("true-tail" if out["tau_ratio_engine_over_replay"] < 3.0
-               else "stepping-artifact-suspected")
+    ratio = out["tau_ratio_engine_over_replay"]
+    if ratio < 3.0:
+        verdict = "true-tail (replay reproduces the depth)"
+    elif (out.get("engine_max_tau_nominal_steps", 0.0)
+          > 10.0 * out["replay_max_tau"]):
+        # The engine WITHOUT step growth also reaches depths far beyond
+        # the replay: growth/trapezoid stepping is exonerated, and the
+        # per-photon replay is non-probative — deep-tau photons live on
+        # near-photon-orbit trajectories where any two integrators (or
+        # any two step segmentations of the same integrator) diverge
+        # chaotically from identical birth states.  Combined with the
+        # oracle's own deep ratchet realizations (measured r5: oracle
+        # max_tau 2.38 / 0.61 at M4e19-20k vs its 2k-stable 0.0025), the
+        # deep tail is REAL and reachable by both integrators; which
+        # realization a given run samples is chaos + RNG.
+        verdict = ("true-tail (nominal-step engine reaches comparable "
+                   "depth; per-photon replay non-probative on chaotic "
+                   "near-orbit trajectories)")
+    else:
+        verdict = "stepping-artifact-suspected"
     out["verdict"] = verdict
     print(json.dumps(out, indent=2))
     if args.json:
