@@ -188,6 +188,11 @@ def main():
         # accounting is explicit.
         "elapsed_s": round(stats["elapsed_s"], 1),
         "compile_s": round(stats.get("compile_s", 0.0), 1),
+        # total hot iterations retired (all engine stages): with device_s
+        # this gives the true in-run cost per iteration, which the
+        # micro-bench's isolated hot-step number understates (periodic
+        # event phases run data-dependent rejection rounds).
+        "hot_iters": stats.get("hot_iters", 0),
         "util": [round(stats.get(k, 0.0), 3) for k in
                  ("util_occupied", "util_moving", "util_committed",
                   "util_parked")],
