@@ -112,13 +112,15 @@ def bench_sim_kwargs(pool, ref_mode=False, env=None):
         # waves run a Compton storm whose magnitude varies run-to-run
         # (recorded-count swings of 1.5x observed at warmup=1024).
         warmup=int(env.get("BENCH_WARMUP", "8192")),
-        # 4096-iteration dispatch slices: each slice boundary costs ~3
+        # 8192-iteration dispatch slices: each slice boundary costs ~3
         # tunneled roundtrips + a ~200 KB telemetry fetch, and the tunnel's
         # download path was measured as low as 3.6 MB/s — halving the
         # slice count took the same run from 344k to 630k ph/s under that
         # weather (A/B r4; fault-replay granularity is covered by the
-        # async wave checkpoints, not the slice size).
-        slice_iters=int(env.get("BENCH_SLICE", "4096")),
+        # async wave checkpoints, not the slice size).  r5: 8192 over 4096
+        # is worth a further ~1% device-window (961.5k vs 942-957k,
+        # identical physics — scheduling-only).
+        slice_iters=int(env.get("BENCH_SLICE", "8192")),
         # No in-memory fault snapshots: the bench recovers via its disk
         # checkpoint + process re-exec; snapshots cost a ~20 MB tunneled
         # device_get per wave (~2-3 s per wave boundary, measured).
