@@ -21,6 +21,12 @@ def bench_config(pool=65536, dtype=None, ref_mode=False, env=None,
                  stall_steps=None):
     """The accelerated, accuracy-gated profile the macro bench ships.
 
+    Pool width 65536 is measured-optimal on v5e: BENCH_POOL=131072 LOSES
+    (r5 A/B: 728k vs 961k ph/s device-window — occupancy collapses to
+    0.71/0.51 because the refill/event widths below scale with the knob
+    defaults, not the pool, and the wider pool runs half-empty; a future
+    widening must scale ev_k/refill_k/light_k with it).
+
     Every deviation knob here is chi2-gated against the reference-semantics
     oracle (ACCURACY.md); see EngineConfig for the measured rationale of
     each.  ``ref_mode`` (BENCH_REFERENCE=1) restores reference semantics:
